@@ -1,0 +1,156 @@
+"""Multi-scale deformable attention (MSDA) for TPU.
+
+This replaces the reference's only native component — the CUDA
+``MultiScaleDeformableAttention`` extension (reference:
+models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238-299 forward im2col,
+:302-921 backward variants) — with TPU-native formulations:
+
+- ``ms_deform_attn_reference``: level-by-level jnp port of the documented
+  semantics (reference python oracle: models/ops/functions/ms_deform_attn_func.py:41-61,
+  i.e. ``F.grid_sample(align_corners=False, padding_mode='zeros')`` per level).
+  Used as the test oracle.
+- ``ms_deform_attn``: fused single-gather XLA formulation — all levels, points
+  and bilinear corners collapse into ONE ``take_along_axis`` on a
+  level-concatenated value tensor, followed by a weighted reduction.  XLA
+  lowers this to a single gather + fused multiply-adds; gradients (scatter-add
+  into value, analytic bilinear-weight grads into locations) come from autodiff,
+  so no hand-written backward is needed — unlike the five CUDA col2im kernels.
+- a Pallas kernel variant lives in ``grit_tpu.ops.msda_pallas`` and is selected
+  via ``impl='pallas'``.
+
+Shapes (reference: models/ops/modules/ms_deform_attn.py:80-89):
+  value:               [N, S, M, D]   S = sum_l H_l * W_l
+  spatial_shapes:      static list of L (H, W) ints (XLA shapes must be static)
+  sampling_locations:  [N, Lq, M, L, P, 2], (x, y) normalized to [0, 1]
+  attention_weights:   [N, Lq, M, L, P], softmax-normalized over L*P
+  output:              [N, Lq, M*D]  (head-major channel concat)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def level_start_index(spatial_shapes: Sequence[tuple[int, int]]) -> list[int]:
+    starts, acc = [], 0
+    for h, w in spatial_shapes:
+        starts.append(acc)
+        acc += h * w
+    return starts
+
+
+def _bilinear_corners(px, py, h, w):
+    """Corner indices, weights and validity for zero-padded bilinear sampling.
+
+    px, py: pixel-space coords (already ``loc * size - 0.5``), any shape.
+    Returns (ix, iy, weight, valid) each of shape [..., 4] ordered
+    (top-left, top-right, bottom-left, bottom-right).
+    """
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    lx = px - x0
+    ly = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    ix = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=-1)
+    iy = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], axis=-1)
+    wx = jnp.stack([1 - lx, lx, 1 - lx, lx], axis=-1)
+    wy = jnp.stack([1 - ly, 1 - ly, ly, ly], axis=-1)
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    return ix, iy, wx * wy, valid
+
+
+def ms_deform_attn_reference(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Readable per-level implementation; the parity/test oracle."""
+    n, s, m, d = value.shape
+    _, lq, _, nlvl, npts, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+
+    out = jnp.zeros((n, lq, m, d), value.dtype)
+    for lid, (h, w) in enumerate(spatial_shapes):
+        val_l = jax.lax.dynamic_slice_in_dim(value, starts[lid], h * w, axis=1)
+        val_l = val_l.reshape(n, h, w, m, d)
+        loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P, 2]
+        px = loc[..., 0] * w - 0.5
+        py = loc[..., 1] * h - 0.5
+        ix, iy, wgt, valid = _bilinear_corners(px, py, h, w)  # [N, Lq, M, P, 4]
+        ixc = jnp.clip(ix, 0, w - 1)
+        iyc = jnp.clip(iy, 0, h - 1)
+        # gather each corner: val_l[n, iy, ix, m, :]
+        n_idx = jnp.arange(n)[:, None, None, None, None]
+        m_idx = jnp.arange(m)[None, None, :, None, None]
+        sampled = val_l[n_idx, iyc, ixc, m_idx]  # [N, Lq, M, P, 4, D]
+        wgt = jnp.where(valid, wgt, 0.0)
+        interp = (sampled * wgt[..., None]).sum(-2)  # [N, Lq, M, P, D]
+        aw = attention_weights[:, :, :, lid][..., None]  # [N, Lq, M, P, 1]
+        out = out + (interp * aw).sum(3)
+    return out.reshape(n, lq, m * d)
+
+
+@partial(jax.jit, static_argnames=("spatial_shapes",))
+def _msda_fused_xla(value, spatial_shapes, sampling_locations, attention_weights):
+    n, s, m, d = value.shape
+    _, lq, _, nlvl, npts, _ = sampling_locations.shape
+    starts = level_start_index(spatial_shapes)
+
+    hs = np.array([h for h, _ in spatial_shapes], np.float32)
+    ws = np.array([w for _, w in spatial_shapes], np.float32)
+    st = np.array(starts, np.int32)
+
+    # pixel coords per level:  [N, Lq, M, L, P]
+    px = sampling_locations[..., 0] * ws[None, None, None, :, None] - 0.5
+    py = sampling_locations[..., 1] * hs[None, None, None, :, None] - 0.5
+    ix, iy, wgt, valid = _bilinear_corners(
+        px, py, hs[None, None, None, :, None, None], ws[None, None, None, :, None, None]
+    )  # each [N, Lq, M, L, P, 4]
+    ixc = jnp.clip(ix, 0, (ws - 1).astype(np.int32)[None, None, None, :, None, None])
+    iyc = jnp.clip(iy, 0, (hs - 1).astype(np.int32)[None, None, None, :, None, None])
+    flat = st[None, None, None, :, None, None] + iyc * ws.astype(np.int32)[
+        None, None, None, :, None, None
+    ] + ixc  # [N, Lq, M, L, P, 4] in [0, S)
+
+    # combine bilinear weight, validity and attention weight BEFORE the gather
+    # reduction: w_total[n,q,m,l,p,c] = attn[n,q,m,l,p] * bilin[n,q,m,l,p,c] * valid
+    w_total = jnp.where(valid, wgt, 0.0) * attention_weights[..., None]
+
+    # one gather: value_t [N, M, S, D], idx [N, M, K] with K = Lq*L*P*4
+    k = lq * nlvl * npts * 4
+    value_t = value.transpose(0, 2, 1, 3)  # [N, M, S, D]
+    idx = flat.transpose(0, 2, 1, 3, 4, 5).reshape(n, m, k)  # [N, M, K]
+    gathered = jnp.take_along_axis(value_t, idx[..., None], axis=2)  # [N, M, K, D]
+    w = w_total.transpose(0, 2, 1, 3, 4, 5).reshape(n, m, k)  # [N, M, K]
+    out = (gathered * w[..., None]).reshape(n, m, lq, nlvl * npts * 4, d).sum(3)
+    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d)
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Multi-scale deformable attention core op (see module docstring)."""
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if impl == "reference":
+        return ms_deform_attn_reference(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if impl == "pallas":
+        from grit_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    return _msda_fused_xla(value, spatial_shapes, sampling_locations, attention_weights)

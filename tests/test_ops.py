@@ -1,0 +1,154 @@
+"""Unit tests for grit_tpu.ops: posemb, window helpers, MSDA.
+
+The MSDA parity test mirrors the reference's native-op test strategy
+(reference: models/ops/test.py:31-86 — forward allclose vs a
+``F.grid_sample`` oracle + gradcheck) using torch-CPU as the oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grit_tpu.ops.msda import ms_deform_attn, ms_deform_attn_reference
+from grit_tpu.ops.posemb import masked_sin_pos_encoding, sinusoid_encoding_table
+from grit_tpu.ops.window import (
+    relative_position_index,
+    shifted_window_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+class TestPosEmb:
+    def test_sinusoid_matches_closed_form(self):
+        tab = np.asarray(sinusoid_encoding_table(55, 512, padding_idx=0))
+        assert tab.shape == (55, 512)
+        assert np.all(tab[0] == 0)
+        # spot-check position 3, channel pair 10
+        i = 10
+        angle = 3 / 10000 ** (2 * i / 512)
+        assert np.isclose(tab[3, 2 * i], np.sin(angle), atol=1e-6)
+        assert np.isclose(tab[3, 2 * i + 1], np.cos(angle), atol=1e-6)
+
+    def test_masked_sin_shapes(self):
+        mask = jnp.zeros((2, 8, 10), bool).at[:, 6:, :].set(True)
+        pos = masked_sin_pos_encoding(mask, 256)
+        assert pos.shape == (2, 8, 10, 256)
+        # y channel at last valid row ~ sin/cos(2*pi*...) — just check finite & bounded
+        assert np.all(np.abs(np.asarray(pos)) <= 1.0 + 1e-6)
+
+
+class TestWindow:
+    def test_partition_reverse_roundtrip(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 36, 16))
+        win = window_partition(x, 12)
+        assert win.shape == (2 * 2 * 3, 144, 16)
+        back = window_reverse(win, 12, 24, 36)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+    def test_relative_position_index_range(self):
+        idx = relative_position_index((12, 12))
+        assert idx.shape == (144, 144)
+        assert idx.min() >= 0 and idx.max() < 23 * 23
+        # symmetry: idx[i, j] of (di, dj) mirrors idx[j, i] of (-di, -dj)
+        assert idx[0, 143] + idx[143, 0] == 2 * ((11 + 11) * 23 + 22) // 2 * 1  # both extremes sum
+
+    def test_shifted_mask_blocks(self):
+        m = shifted_window_mask(24, 24, 12, 6)
+        assert m.shape == (4, 144, 144)
+        # first window (interior) should be fully visible
+        assert np.all(m[0] == 0)
+        # last window mixes 4 regions -> has masked pairs
+        assert np.any(m[-1] == -100.0)
+
+
+def _torch_msda_oracle(value, shapes, loc, weights):
+    """Oracle via torch grid_sample (the documented semantics of the CUDA op)."""
+    import torch
+    import torch.nn.functional as F
+
+    value = torch.tensor(np.asarray(value))
+    loc = torch.tensor(np.asarray(loc))
+    weights = torch.tensor(np.asarray(weights))
+    n, s, m, d = value.shape
+    _, lq, _, nl, np_, _ = loc.shape
+    splits = [h * w for h, w in shapes]
+    vals = value.split(splits, dim=1)
+    grids = 2 * loc - 1
+    sampled = []
+    for lid, (h, w) in enumerate(shapes):
+        v = vals[lid].flatten(2).transpose(1, 2).reshape(n * m, d, h, w)
+        g = grids[:, :, :, lid].transpose(1, 2).flatten(0, 1)  # [N*M, Lq, P, 2]
+        sampled.append(
+            F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        )
+    w_ = weights.transpose(1, 2).reshape(n * m, 1, lq, nl * np_)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * w_).sum(-1).view(n, m * d, lq)
+    return out.transpose(1, 2).numpy()
+
+
+@pytest.fixture(scope="module")
+def msda_inputs():
+    shapes = ((6, 4), (3, 2), (2, 2))
+    s = sum(h * w for h, w in shapes)
+    n, m, d, lq, p = 2, 4, 16, 8, 3
+    k = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(k, 3)
+    value = jax.random.normal(k1, (n, s, m, d), jnp.float32)
+    loc = jax.random.uniform(k2, (n, lq, m, len(shapes), p, 2), minval=-0.2, maxval=1.2)
+    w = jax.nn.softmax(
+        jax.random.normal(k3, (n, lq, m, len(shapes), p)).reshape(n, lq, m, -1), -1
+    ).reshape(n, lq, m, len(shapes), p)
+    return value, shapes, loc, w
+
+
+class TestMSDA:
+    def test_reference_vs_torch_oracle(self, msda_inputs):
+        value, shapes, loc, w = msda_inputs
+        ours = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+        oracle = _torch_msda_oracle(value, shapes, loc, w)
+        np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
+
+    def test_fused_matches_reference(self, msda_inputs):
+        value, shapes, loc, w = msda_inputs
+        ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+        fused = np.asarray(ms_deform_attn(value, shapes, loc, w, impl="xla"))
+        np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_finite_differences(self, msda_inputs):
+        value, shapes, loc, w = msda_inputs
+
+        def loss(v, l, a):
+            return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
+
+        g_v, g_l, g_a = jax.grad(loss, argnums=(0, 1, 2))(value, loc, w)
+        # directional finite difference for each input
+        key = jax.random.PRNGKey(7)
+        for g, x, name in [(g_v, value, "value"), (g_l, loc, "loc"), (g_a, w, "attn")]:
+            key, sub = jax.random.split(key)
+            direction = jax.random.normal(sub, x.shape)
+            eps = 1e-3
+            if name == "loc":
+                # keep away from bilinear-cell boundaries where grad is discontinuous
+                eps = 1e-4
+            f_plus = loss(*(x + eps * direction if nm == name else inp
+                            for inp, nm in [(value, "value"), (loc, "loc"), (w, "attn")]))
+            f_minus = loss(*(x - eps * direction if nm == name else inp
+                             for inp, nm in [(value, "value"), (loc, "loc"), (w, "attn")]))
+            fd = (f_plus - f_minus) / (2 * eps)
+            analytic = jnp.sum(g * direction)
+            np.testing.assert_allclose(float(analytic), float(fd), rtol=2e-2, atol=1e-2)
+
+    def test_grit_sizes_smoke(self):
+        # GRIT production sizes: L=4 levels of a 384x640 image, M=8, D=64, Lq=150
+        shapes = ((48, 80), (24, 40), (12, 20), (6, 10))
+        s = sum(h * w for h, w in shapes)
+        n, m, d, lq, p = 2, 8, 64, 150, 4
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        value = jax.random.normal(k1, (n, s, m, d))
+        loc = jax.random.uniform(k2, (n, lq, m, 4, p, 2))
+        w = jnp.full((n, lq, m, 4, p), 1.0 / 16)
+        out = ms_deform_attn(value, shapes, loc, w)
+        assert out.shape == (n, lq, m * d)
+        assert np.isfinite(np.asarray(out)).all()
