@@ -1,0 +1,93 @@
+"""Benchmark: captioning throughput, beam search 5, full-size GRIT on one chip.
+
+Measures images/sec for the flagship configuration — the reference's eval
+throughput metric of record (engine/caption_engine.py:181-192: wall-clock
+around device-synchronized beam search, batch of COCO-sized images).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput / estimated A100 reference
+throughput.  The reference repo publishes no absolute images/sec; the A100
+estimate below comes from its eval setup (fp32, batch 8, beam 5, ~78 GFLOPs
+Swin-B/384x640 forward + 20 sequential decode steps) at a generous 35%% fp32
+utilization — ~20 images/sec/GPU.  The north-star target is >= 4x (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+A100_BASELINE_IPS = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from grit_tpu.config import default_caption_config
+    from grit_tpu.decoding.beam_search import beam_search
+    from grit_tpu.models.captioner import build_captioner
+    from grit_tpu.utils.nested import ImageBatch
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    beam = 5
+    max_len = 20
+
+    config = default_caption_config()
+    model = build_captioner(config, dtype=jnp.bfloat16)
+
+    h, w = 384, 640
+    rng = jax.random.PRNGKey(0)
+    images = ImageBatch(
+        jax.random.normal(rng, (batch, h, w, 3), jnp.float32),
+        jnp.zeros((batch, h, w), bool),
+    )
+    seq = jnp.full((batch, 20), 4, jnp.int32)
+    t0 = time.time()
+    params = model.init(jax.random.PRNGKey(0), images, seq)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    def generate(params, images):
+        vis = model.apply(params, images, method="compute_vis")
+
+        def decode_fn(token, t, vis_in, cache):
+            return model.apply(params, token, t, vis_in, cache, method="decode_step")
+
+        cache = model.apply(params, batch * beam, max_len, method="init_cache")
+        res = beam_search(
+            decode_fn, cache, vis, batch, beam, max_len,
+            config.model.bos_idx, config.model.eos_idx, out_size=1,
+        )
+        return res.sequences
+
+    generate = jax.jit(generate)
+
+    t0 = time.time()
+    out = jax.block_until_ready(generate(params, images))
+    print(f"compile+first batch: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # timed runs
+    n_iters = 5
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = generate(params, images)
+    jax.block_until_ready(out)
+    elapsed = time.time() - t0
+    ips = batch * n_iters / elapsed
+
+    print(
+        json.dumps({
+            "metric": "images/sec/chip captioning (beam=5, bf16, 384x640, batch "
+                      f"{batch})",
+            "value": round(ips, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+        })
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""DETR-style set criterion: Hungarian matching + focal/L1/GIoU losses.
+
+Math parity: reference models/detection/od_losses.py.
+
+TPU-first shape discipline: targets arrive as PADDED arrays
+``{labels [B, G], boxes [B, G, 4], valid [B, G]}`` (G = max boxes per image)
+so the whole criterion jits with static shapes.  The Hungarian assignment
+runs on host via ``jax.pure_callback`` into scipy — exactly where the
+reference leaves it (scipy ``linear_sum_assignment`` on CPU per batch,
+od_losses.py:427-431); the 150 x G problem is far too small for a device.
+Invalid (padding) columns get +inf-like cost and are dropped from the
+returned assignment.
+
+Losses (od_losses.py:40-65, 91-116, 118-130, 206-227):
+- classification: sigmoid focal (alpha=0.25, gamma=2) over a one-hot target
+  where matched queries carry their class and unmatched are all-zero;
+  normalized by ``num_boxes`` (the reference's ``mean(1).sum()/num_boxes * Q``
+  algebraically equals ``sum()/num_boxes``);
+- boxes: L1 + (1 - diag GIoU) on matched pairs, normalized by num_boxes;
+- cardinality: |#(argmax != last class) - #gt| L1, logging only.
+- attributes: the weighted BCE of od_losses.py:141-177 (inside/outside
+  class-balance terms), used when attribute targets are present.
+
+``num_boxes`` is the GLOBAL batch count (clamped to >= 1): under a
+data-sharded jit this equals the reference's cross-rank allreduce-mean
+normalization (od_losses.py:259-268) composed with DDP gradient averaging.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grit_tpu.utils.boxes import box_cxcywh_to_xyxy, generalized_box_iou
+
+BIG_COST = 1e6
+
+
+def sigmoid_focal_loss(logits, targets, alpha: float = 0.25, gamma: float = 2.0):
+    """Elementwise focal loss (no reduction)."""
+    prob = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, targets)
+    p_t = prob * targets + (1 - prob) * (1 - targets)
+    loss = ce * (1 - p_t) ** gamma
+    if alpha >= 0:
+        loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+    return loss
+
+
+def optax_sigmoid_ce(logits, labels):
+    """Numerically-stable binary CE with logits."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _host_lsa(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """Batched host-side Hungarian. cost [B, Q, G], n_valid [B] -> assign [B, G]."""
+    from scipy.optimize import linear_sum_assignment
+
+    b, q, g = cost.shape
+    out = np.full((b, g), -1, np.int32)
+    for i in range(b):
+        n = int(n_valid[i])
+        if n == 0:
+            continue
+        rows, cols = linear_sum_assignment(cost[i, :, :n])
+        out[i, cols] = rows.astype(np.int32)
+    return out
+
+
+def hungarian_match(
+    pred_logits: jnp.ndarray,   # [B, Q, C]
+    pred_boxes: jnp.ndarray,    # [B, Q, 4] cxcywh
+    tgt_labels: jnp.ndarray,    # [B, G]
+    tgt_boxes: jnp.ndarray,     # [B, G, 4]
+    tgt_valid: jnp.ndarray,     # [B, G] bool
+    *,
+    cost_class: float = 2.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+) -> jnp.ndarray:
+    """-> assign [B, G]: query index matched to each gt box, -1 for padding.
+
+    Cost parity: focal-style class cost + L1 + (-GIoU) (od_losses.py:412-426).
+    """
+    alpha, gamma = 0.25, 2.0
+    prob = jax.nn.sigmoid(pred_logits)  # [B, Q, C]
+    neg = (1 - alpha) * prob ** gamma * (-jnp.log(1 - prob + 1e-8))
+    pos = alpha * (1 - prob) ** gamma * (-jnp.log(prob + 1e-8))
+    # pick per-gt class columns: [B, Q, G]
+    cls_cost = (
+        jnp.take_along_axis(pos, tgt_labels[:, None, :], axis=2)
+        - jnp.take_along_axis(neg, tgt_labels[:, None, :], axis=2)
+    )
+    l1_cost = jnp.abs(pred_boxes[:, :, None, :] - tgt_boxes[:, None, :, :]).sum(-1)
+    giou_cost = -jax.vmap(generalized_box_iou)(
+        box_cxcywh_to_xyxy(pred_boxes), box_cxcywh_to_xyxy(tgt_boxes)
+    )
+    cost = cost_bbox * l1_cost + cost_class * cls_cost + cost_giou * giou_cost
+    cost = jnp.where(tgt_valid[:, None, :], cost, BIG_COST)
+    # guard NaN/inf for the host solver
+    cost = jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST, neginf=-BIG_COST)
+
+    n_valid = tgt_valid.sum(-1).astype(jnp.int32)
+    b, _, g = cost.shape
+    assign = jax.pure_callback(
+        _host_lsa,
+        jax.ShapeDtypeStruct((b, g), jnp.int32),
+        cost, n_valid,
+        vmap_method="sequential",
+    )
+    return jnp.where(tgt_valid, assign, -1)
+
+
+class SetCriterion:
+    """Functional set criterion; call inside a jitted loss fn."""
+
+    def __init__(
+        self,
+        num_classes: int,
+        *,
+        focal_alpha: float = 0.25,
+        cost_class: float = 2.0,
+        cost_bbox: float = 5.0,
+        cost_giou: float = 2.0,
+        weight_dict: Optional[dict] = None,
+    ):
+        self.num_classes = num_classes
+        self.focal_alpha = focal_alpha
+        self.cost = dict(cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou)
+        self.weight_dict = weight_dict or {
+            "loss_ce": 2.0, "loss_bbox": 5.0, "loss_giou": 2.0, "loss_attr": 1.0,
+        }
+
+    def _single_level(self, pred_logits, pred_boxes, targets, num_boxes):
+        assign = hungarian_match(
+            pred_logits, pred_boxes,
+            targets["labels"], targets["boxes"], targets["valid"],
+            **self.cost,
+        )  # [B, G]
+        b, q, c = pred_logits.shape
+        g = assign.shape[1]
+        matched = assign >= 0
+        safe_assign = jnp.where(matched, assign, 0)
+
+        # --- classification: scatter gt classes onto matched queries ---------
+        onehot = jnp.zeros((b, q, c))
+        scatter = jax.nn.one_hot(targets["labels"], c) * matched[..., None]
+        # add each gt's one-hot row into its assigned query row
+        onehot = onehot.at[
+            jnp.arange(b)[:, None].repeat(g, 1), safe_assign
+        ].add(scatter)
+        onehot = jnp.clip(onehot, 0, 1)
+        loss_ce = sigmoid_focal_loss(pred_logits, onehot, self.focal_alpha).sum() / num_boxes
+
+        # --- boxes -----------------------------------------------------------
+        src_boxes = jnp.take_along_axis(pred_boxes, safe_assign[..., None], axis=1)  # [B, G, 4]
+        l1 = jnp.abs(src_boxes - targets["boxes"]).sum(-1)
+        l1 = jnp.where(matched, l1, 0.0)
+        giou = jax.vmap(
+            lambda s, t: jnp.diagonal(
+                generalized_box_iou(box_cxcywh_to_xyxy(s), box_cxcywh_to_xyxy(t))
+            )
+        )(src_boxes, targets["boxes"])
+        giou_l = jnp.where(matched, 1 - giou, 0.0)
+
+        # --- cardinality (logging) ------------------------------------------
+        card_pred = (jnp.argmax(pred_logits, -1) != c - 1).sum(-1)
+        card_err = jnp.abs(
+            card_pred.astype(jnp.float32) - targets["valid"].sum(-1).astype(jnp.float32)
+        ).mean()
+
+        out = {
+            "loss_ce": loss_ce,
+            "loss_bbox": l1.sum() / num_boxes,
+            "loss_giou": giou_l.sum() / num_boxes,
+            "cardinality_error": jax.lax.stop_gradient(card_err),
+        }
+        return out, assign
+
+    def attribute_loss(self, attr_logits, targets, assign):
+        """Weighted BCE on matched queries (od_losses.py:141-177)."""
+        matched = (assign >= 0) & targets.get("has_attr", jnp.ones(assign.shape[0], bool))[:, None]
+        safe_assign = jnp.where(assign >= 0, assign, 0)
+        logits = jnp.take_along_axis(
+            attr_logits, safe_assign[..., None], axis=1
+        )  # [B, G, A]
+        tgt = targets["attributes"].astype(jnp.float32)
+        bce = optax_sigmoid_ce(logits, tgt) * matched[..., None]
+        pos_mask = tgt * matched[..., None]
+        neg_mask = (1 - tgt) * matched[..., None]
+        inside = jnp.where(pos_mask.sum() > 0, (bce * tgt).sum() / jnp.maximum(pos_mask.sum(), 1), 0.0)
+        outside = jnp.where(
+            neg_mask.sum() > 0, (bce * (1 - tgt)).sum() / jnp.maximum(neg_mask.sum(), 1), 0.0
+        )
+        return {"loss_attr": inside + outside}
+
+    def __call__(self, outputs: dict, targets: dict) -> dict:
+        """outputs: {pred_logits, pred_boxes, [aux_outputs], [attr_logits]}.
+
+        Returns the per-loss dict (incl. per-aux-layer '_i' entries).
+        ``total_loss`` applies the weight dict.
+        """
+        num_boxes = jnp.maximum(targets["valid"].sum().astype(jnp.float32), 1.0)
+        losses, assign = self._single_level(
+            outputs["pred_logits"], outputs["pred_boxes"], targets, num_boxes
+        )
+        if "attr_logits" in outputs and "attributes" in targets:
+            losses.update(self.attribute_loss(outputs["attr_logits"], targets, assign))
+        for i, aux in enumerate(outputs.get("aux_outputs", [])):
+            aux_losses, _ = self._single_level(
+                aux["pred_logits"], aux["pred_boxes"], targets, num_boxes
+            )
+            losses.update({f"{k}_{i}": v for k, v in aux_losses.items()
+                           if not k.startswith("cardinality")})
+        return losses
+
+    def total_loss(self, losses: dict) -> jnp.ndarray:
+        total = 0.0
+        for key, value in losses.items():
+            base = key.rsplit("_", 1)[0] if key[-1].isdigit() else key
+            if base in self.weight_dict:
+                total = total + self.weight_dict[base] * value
+        return total

@@ -1,0 +1,95 @@
+"""Orbax checkpointing for caption/detector training.
+
+Replaces the reference's ``torch.save`` dict checkpoints
+(engine/caption_engine.py:83-103) with Orbax:
+
+- same logical content: params, optimizer state, scheduler tick counter,
+  epoch, best CIDErs, config snapshot;
+- same file roles: ``last``, ``best_valid``, ``best_test``, per-phase and
+  per-epoch checkpoints (train_caption.py:181-202);
+- sharded-array aware (a checkpoint written from a mesh restores onto any
+  other mesh).
+
+``strict=False`` loads print missing/unexpected key counts like the
+reference (train_caption.py:39,132).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(workdir: str, name: str) -> str:
+    return os.path.join(os.path.abspath(workdir), "checkpoints", name)
+
+
+def save_checkpoint(
+    workdir: str,
+    name: str,
+    *,
+    state: Any,
+    epoch: int,
+    best_ciders: tuple[float, float] = (0.0, 0.0),
+    scores: Any = None,
+    config: Any = None,
+) -> None:
+    """Save a named checkpoint (e.g. 'last', 'best_valid', 'ft_xe', 'epoch_17')."""
+    path = _ckpt_dir(workdir, name)
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "global_steps": state.global_steps,
+        "epoch": np.asarray(epoch),
+        "best_ciders": np.asarray(best_ciders, np.float32),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    if config is not None:
+        try:
+            config.to_yaml(os.path.join(path, "config.yaml"))
+        except Exception:
+            pass
+
+
+def restore_checkpoint(workdir: str, name: str, *, template: Optional[Any] = None):
+    """Restore a named checkpoint; returns the payload dict."""
+    path = _ckpt_dir(workdir, name)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(path, item=template)
+        return ckptr.restore(path)
+
+
+def load_params_flexible(model_params: Any, loaded: Any) -> tuple[Any, int, int]:
+    """strict=False-style merge: copy matching leaves, count missing/unexpected.
+
+    Returns (merged_params, n_missing, n_unexpected) — mirrors the
+    reference's load report (train_caption.py:39).
+    """
+    missing = [0]
+    unexpected = [0]
+
+    def merge(tmpl, src, path=()):
+        if isinstance(tmpl, dict):
+            out = {}
+            src = src if isinstance(src, dict) else {}
+            for k, v in tmpl.items():
+                if k in src:
+                    out[k] = merge(v, src[k], path + (k,))
+                else:
+                    missing[0] += 1
+                    out[k] = v
+            unexpected[0] += len([k for k in src if k not in tmpl])
+            return out
+        if src is None or tuple(np.shape(src)) != tuple(np.shape(tmpl)):
+            missing[0] += 1
+            return tmpl
+        return jax.numpy.asarray(src, dtype=np.asarray(tmpl).dtype)
+
+    merged = merge(model_params, loaded)
+    return merged, missing[0], unexpected[0]

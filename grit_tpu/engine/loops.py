@@ -1,0 +1,172 @@
+"""Caption training loops: XE epochs, SCST epochs, the 4-phase schedule.
+
+Parity: reference train_caption.py:95-204 (phase machine) and
+engine/caption_engine.py (train_xe :312, train_sc :388, evaluate_loss :287,
+log_epoch :106).
+
+TPU execution model per step:
+- XE: one jitted program (forward+backward+Adam); batches stream from the
+  host loader thread; under a data mesh the batch is sharded and GSPMD
+  all-reduces gradients (the DDP equivalent);
+- SCST: jitted beam-search generation -> host decode + PTB tokenize + CIDEr
+  reward -> jitted re-score/update step.  The host reward work for batch i
+  overlaps the device generation of batch i+1 (async dispatch): we dispatch
+  generation, then compute rewards for the previous batch while the device
+  runs.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from grit_tpu.data.metrics import PTBTokenizer
+from grit_tpu.parallel.mesh import shard_batch
+
+
+def log_epoch_csv(config, epoch, split, scores, train_res, which, path="result.csv"):
+    """Append-only result.csv epoch table (caption_engine.py:106-131)."""
+    head = ("exp, backbone, imsize, resize, raug, epoch, split, cider, B1, B4, R, M, "
+            "B2, B3, t-loss, t-reward, b-reward, which, v-loss")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(head + "\n")
+    backbone = "B-VG" if os.path.exists(config.model.detector.checkpoint) else "B-IM"
+    t = config.dataset.transform_cfg
+    text = (
+        f'{config.exp.name.split("/")[-1]}, {backbone}, {t.size[0]}_{t.size[1]}, '
+        f"{t.resize_name}, {t.randaug}, {epoch}, {split:<5}, "
+        f'{scores["CIDEr"] * 100:3.2f}, {scores["BLEU"][0] * 100:3.2f}, '
+        f'{scores["BLEU"][3] * 100:3.2f}, {scores["ROUGE"] * 100:3.2f}, '
+        f'{scores["METEOR"] * 100:3.2f}, {scores["BLEU"][1] * 100:3.2f}, '
+        f'{scores["BLEU"][2] * 100:3.2f}, '
+        f'{train_res["loss"]:2.2f}, {train_res["reward"]:2.2f}, '
+        f'{train_res["reward_baseline"]:2.2f}, {which}, {train_res["val_loss"]:1.2f}'
+    )
+    with open(path, "a") as f:
+        f.write(text + "\n")
+    print(text)
+
+
+def phase_for_epoch(epoch: int, config) -> str:
+    """4-phase epoch-count state machine (train_caption.py:90-103)."""
+    o = config.optimizer
+    fr_xe = o.freezing_xe_epochs
+    fr_sc = fr_xe + o.freezing_sc_epochs
+    ft_xe = fr_sc + o.finetune_xe_epochs
+    ft_sc = ft_xe + o.finetune_sc_epochs
+    if epoch < fr_xe:
+        return "fr_xe"
+    if epoch < fr_sc:
+        return "fr_sc"
+    if epoch < ft_xe:
+        return "ft_xe"
+    if epoch < ft_sc:
+        return "ft_sc"
+    return "done"
+
+
+def total_epochs(config) -> int:
+    o = config.optimizer
+    return (o.freezing_xe_epochs + o.freezing_sc_epochs
+            + o.finetune_xe_epochs + o.finetune_sc_epochs)
+
+
+def train_xe_epoch(
+    xe_step, eval_loss_step, state, dataloaders, *, epoch, rng, mesh=None, writer=None,
+):
+    """One XE epoch + validation loss (caption_engine.py:312-385)."""
+    state = state.epoch_tick()  # the reference's epoch-start scheduler.step()
+    running = 0.0
+    n = 0
+    t0 = time.time()
+    for it, batch in enumerate(dataloaders["train"]):
+        rng, step_rng = jax.random.split(rng)
+        if mesh is not None:
+            batch = shard_batch(
+                {"samples": batch["samples"], "captions": batch["captions"]}, mesh
+            )
+        else:
+            batch = {"samples": batch["samples"], "captions": batch["captions"]}
+        state, metrics = xe_step(state, batch, step_rng)
+        running += float(metrics["loss"])
+        n += 1
+        if writer is not None:
+            writer.scalar("model_lr", float(metrics["lr"]), epoch * len(dataloaders["train"]) + it)
+    train_loss = running / max(n, 1)
+
+    val_running = 0.0
+    vn = 0
+    for batch in dataloaders["valid"]:
+        b = {"samples": batch["samples"], "captions": batch["captions"]}
+        if mesh is not None:
+            b = shard_batch(b, mesh)
+        val_running += float(eval_loss_step(state.params, b))
+        vn += 1
+    val_loss = val_running / max(vn, 1)
+    print(f"Epoch {epoch} XE: loss={train_loss:.4f} val_loss={val_loss:.4f} "
+          f"({time.time() - t0:.1f}s)")
+    return state, {
+        "loss": train_loss, "reward": 0.0, "reward_baseline": 0.0, "val_loss": val_loss,
+    }, rng
+
+
+def train_sc_epoch(
+    generate_step, scst_update, eval_loss_step, state, dataloaders, cider, text_field,
+    *, beam_size, epoch, rng, mesh=None,
+):
+    """One SCST epoch (caption_engine.py:388-492) with gen/reward overlap."""
+    running = {"loss": 0.0, "reward": 0.0, "reward_baseline": 0.0}
+    n = 0
+    pending = None  # (samples, sequences_device, captions)
+
+    def reward_and_update(state, samples, sequences, captions, rng):
+        seqs = np.asarray(sequences)  # [B, beam, T] (device -> host sync point)
+        b, k, t_len = seqs.shape
+        caps_gen = text_field.decode(seqs.reshape(-1, t_len))
+        caps_gt = list(itertools.chain(*([c] * k for c in captions)))
+        gen_tok = PTBTokenizer.tokenize(caps_gen)
+        gt_tok = PTBTokenizer.tokenize(caps_gt)
+        reward = cider.compute_score(gt_tok, gen_tok)[1].astype(np.float32).reshape(b, k)
+        state, metrics = scst_update(state, samples, sequences, reward, rng)
+        return state, metrics
+
+    for batch in dataloaders["train_dict"]:
+        samples = batch["samples"]
+        if mesh is not None:
+            samples = shard_batch(samples, mesh)
+        bs = len(batch["image_id"])
+        rng, gen_rng, upd_rng = jax.random.split(rng, 3)
+        sequences, _ = generate_step(state.params, samples, bs, gen_rng)
+        # overlap: while the device generates this batch, score the previous
+        if pending is not None:
+            state, metrics = reward_and_update(state, *pending)
+            for k in running:
+                running[k] += float(metrics[k])
+            n += 1
+        pending = (samples, sequences, batch["captions"], upd_rng)
+
+    if pending is not None:
+        state, metrics = reward_and_update(state, *pending)
+        for k in running:
+            running[k] += float(metrics[k])
+        n += 1
+
+    val_running, vn = 0.0, 0
+    for batch in dataloaders["valid"]:
+        b = {"samples": batch["samples"], "captions": batch["captions"]}
+        if mesh is not None:
+            b = shard_batch(b, mesh)
+        val_running += float(eval_loss_step(state.params, b))
+        vn += 1
+
+    res = {k: v / max(n, 1) for k, v in running.items()}
+    res["val_loss"] = val_running / max(vn, 1)
+    print(f"Epoch {epoch} SCST: loss={res['loss']:.4f} reward={res['reward']:.3f} "
+          f"baseline={res['reward_baseline']:.3f} val_loss={res['val_loss']:.4f}")
+    return state, res, rng

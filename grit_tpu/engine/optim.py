@@ -1,0 +1,116 @@
+"""Optimizers and LR schedule for caption training.
+
+Parity notes (reference engine/caption_engine.py:18-73, utils/cap_scheduler.py):
+
+- TWO Adam groups split on whether the parameter path contains ``detector``
+  ("model" vs "backbone"); betas (0.9, 0.99); separate LRs per phase
+  (xe_lr / xe_backbone_lr, sc_lr / sc_backbone_lr).
+- The reference passes ``weight_decay_rate`` to torch Adam — a key Adam
+  ignores, so NO weight decay is ever applied.  We replicate that default
+  (``weight_decay=0``) and expose a working decay knob for new runs.
+- The cosine schedule with 1-epoch linear warmup applies to the **model**
+  group only; the backbone group keeps a fixed LR (train_xe asserts only the
+  model optimizer's LR, caption_engine.py:348-350).
+- Scheduler quirk preserved: ``scheduler.step()`` runs once at epoch start
+  AND once per iteration (caption_engine.py:325-326,348), with a
+  pre-incremented counter.  ``cosine_lr_schedule`` is a pure function of
+  ``global_steps``, so the training loop reproduces the exact tick sequence
+  by managing the counter itself.
+
+The learning rate is applied *inside the train step* (``apply_lr``) from the
+traced ``global_steps`` — the Adam moments transform itself is LR-free, so
+phase changes (xe -> sc) just swap the scalar LRs without rebuilding state.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def split_param_labels(params: Any) -> Any:
+    """Label each param 'backbone' if its path contains 'detector', else 'model'.
+
+    (The reference's "backbone" optimizer is the whole detector subtree —
+    Swin AND deformable decoder; caption_engine.py:40-55.)
+    """
+
+    def label(path, _leaf):
+        parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        return "backbone" if any("detector" in s for s in parts) else "model"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def frozen_mask(params: Any, frozen_predicate) -> Any:
+    """Bool pytree: True where the param path matches ``frozen_predicate``.
+
+    Mirrors ``requires_grad=False`` freezing by name substring
+    (train_caption.py:48-57 — e.g. ``lambda p: 'backbone' in p``).
+    """
+
+    def mask(path, _leaf):
+        parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        return bool(frozen_predicate("/".join(parts)))
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def cosine_lr_schedule(
+    global_steps,
+    *,
+    num_epochs: int,
+    num_its_per_epoch: int,
+    init_lr: float,
+    min_lr: float,
+    warmup_init_lr: float,
+    warmup_factor: float = 0.1,
+    warmup_epochs: int = 1,
+):
+    """Pure-fn port of CosineLRScheduler.step (utils/cap_scheduler.py:28-59)."""
+    gs = jnp.asarray(global_steps, jnp.float32)
+    cur_epoch_f = gs / num_its_per_epoch
+    alpha = cur_epoch_f / warmup_epochs
+    warm = (init_lr - warmup_init_lr) * (warmup_factor * (1.0 - alpha) + alpha) + warmup_init_lr
+    total = num_epochs * num_its_per_epoch
+    cos = (init_lr - min_lr) * (1 + jnp.cos(jnp.pi * gs / total)) / 2 + min_lr
+    cos = jnp.maximum(min_lr, cos)
+    in_warmup = (gs.astype(jnp.int32) // num_its_per_epoch) < 1
+    return jnp.where(in_warmup, warm, cos)
+
+
+def build_optimizer(
+    params: Any,
+    *,
+    beta_1: float = 0.9,
+    beta_2: float = 0.99,
+    weight_decay: float = 0.0,
+) -> tuple[optax.GradientTransformation, Any]:
+    """LR-free Adam-moments transform + param labels ('model'/'backbone')."""
+    labels = split_param_labels(params)
+    txs = [optax.scale_by_adam(b1=beta_1, b2=beta_2)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    return optax.chain(*txs), labels
+
+
+def apply_lr(updates: Any, labels: Any, model_lr, backbone_lr, freeze=None) -> Any:
+    """Scale Adam updates by the per-group (possibly traced) learning rates.
+
+    ``freeze``: optional bool pytree — True leaves get zero update (the
+    reference's requires_grad freezing).
+    """
+
+    def scale(u, lab, fr=False):
+        lr = model_lr if lab == "model" else backbone_lr
+        out = -lr * u
+        if fr is True:
+            out = jnp.zeros_like(u)
+        return out
+
+    if freeze is None:
+        return jax.tree.map(scale, updates, labels)
+    return jax.tree.map(scale, updates, labels, freeze)

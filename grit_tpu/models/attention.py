@@ -1,0 +1,196 @@
+"""Generic attention library for the caption stack.
+
+Math parity with the reference attention lib (models/common/attention.py):
+
+- ``Attention``  — scaled dot-product with optional learned memory slots:
+  keys get ``m_k * sqrt(d_k)`` and values ``m_v * sqrt(n_memories)`` appended
+  (attention.py:55-69); the attention mask applies only to the real keys.
+- ``MultiHeadAttention`` — attention + dropout + **post-LN residual**
+  ``LN(q + dropout(attn(q,k,v)))`` (attention.py:166-184).
+- ``FeedForward`` — Linear-ReLU-Linear with post-LN residual
+  (models/common/pos_embed.py:34-48).
+
+Decode-time KV caching is explicit functional state: ``__call__`` accepts a
+``cache=(k_cache, v_cache)`` of fixed shape [B, T_max, D] plus the current
+``cache_index``; the *projected* k/v for the incoming token are written at
+that index and attention runs over the full cache with a length mask.  This
+replaces the reference's dynamic-shape ``running_keys`` concatenation
+(attention.py:170-177) with fixed shapes XLA can compile once.  Caching
+projected (not raw) k/v is mathematically identical because the projections
+are position-independent linear maps.
+
+Masks use the reference convention: boolean, True = masked out.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+# pre-LN eps matching torch nn.LayerNorm default
+LN_EPS = 1e-5
+
+KVCache = tuple[jnp.ndarray, jnp.ndarray]  # (k, v) each [B, T_max, d_model]
+
+
+def dense(features: int, name: str, use_bias: bool = True, dtype=None) -> nn.Dense:
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        name=name,
+        dtype=dtype,
+        kernel_init=nn.initializers.xavier_uniform(),
+        bias_init=nn.initializers.zeros_init(),
+    )
+
+
+class Attention(nn.Module):
+    """Scaled dot-product attention with optional memory slots."""
+
+    d_model: int
+    n_heads: int
+    dropout: float = 0.2
+    n_memories: int = 0
+    dtype: Any = None
+
+    def setup(self):
+        self.fc_q = dense(self.d_model, "fc_q", dtype=self.dtype)
+        self.fc_k = dense(self.d_model, "fc_k", dtype=self.dtype)
+        self.fc_v = dense(self.d_model, "fc_v", dtype=self.dtype)
+        self.fc_o = dense(self.d_model, "fc_o", dtype=self.dtype)
+        self.attn_drop = nn.Dropout(self.dropout)
+        if self.n_memories > 0:
+            init = nn.initializers.normal(stddev=0.01)
+            self.m_k = self.param("m_k", init, (1, self.n_memories, self.d_model))
+            self.m_v = self.param("m_v", init, (1, self.n_memories, self.d_model))
+
+    def __call__(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+        kv_projected: bool = False,
+    ) -> jnp.ndarray:
+        d_k = self.d_model // self.n_heads
+        b, nq = q.shape[0], q.shape[1]
+
+        qh = self.fc_q(q)
+        if kv_projected:
+            kh, vh = k, v
+        else:
+            kh = self.fc_k(k)
+            vh = self.fc_v(v)
+        nk = kh.shape[1]
+
+        if self.n_memories > 0:
+            mk = jnp.broadcast_to(
+                self.m_k * np.sqrt(d_k), (b, self.n_memories, self.d_model)
+            )
+            mv = jnp.broadcast_to(
+                self.m_v * np.sqrt(self.n_memories), (b, self.n_memories, self.d_model)
+            )
+            kh = jnp.concatenate([kh, mk.astype(kh.dtype)], axis=1)
+            vh = jnp.concatenate([vh, mv.astype(vh.dtype)], axis=1)
+
+        def split_heads(x):
+            return x.reshape(b, x.shape[1], self.n_heads, d_k).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split_heads(qh), split_heads(kh), split_heads(vh)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(d_k)
+        if mask is not None:
+            neg = jnp.asarray(-jnp.inf, scores.dtype)
+            if self.n_memories > 0:
+                real = jnp.where(mask, neg, scores[..., :nk])
+                scores = jnp.concatenate([real, scores[..., nk:]], axis=-1)
+            else:
+                scores = jnp.where(mask, neg, scores)
+        p = nn.softmax(scores, axis=-1)
+        p = self.attn_drop(p, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, nq, self.d_model)
+        return self.fc_o(out)
+
+    def project_kv(self, k: jnp.ndarray, v: jnp.ndarray) -> KVCache:
+        """Apply fc_k/fc_v only (for writing projected entries into a KV cache)."""
+        return self.fc_k(k), self.fc_v(v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Attention + dropout + post-LN residual, with optional KV cache."""
+
+    d_model: int
+    n_heads: int
+    dropout: float = 0.1
+    n_memories: int = 0
+    dtype: Any = None
+
+    def setup(self):
+        self.attention = Attention(
+            self.d_model, self.n_heads, self.dropout, self.n_memories,
+            dtype=self.dtype, name="attention",
+        )
+        self.drop = nn.Dropout(self.dropout)
+        self.layer_norm = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")
+
+    def __call__(
+        self,
+        queries: jnp.ndarray,
+        keys: jnp.ndarray,
+        values: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        deterministic: bool = True,
+        cache: Optional[KVCache] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        """Returns output, or (output, new_cache) when a cache is given.
+
+        With a cache, ``keys``/``values`` must be the current step's single
+        token [B, 1, D]; attention runs over cache slots <= cache_index.
+        """
+        if cache is None:
+            out = self.attention(
+                queries, keys, values, mask, deterministic=deterministic
+            )
+            out = self.drop(out, deterministic=deterministic)
+            return self.layer_norm(queries + out)
+
+        k_cache, v_cache = cache
+        t_max = k_cache.shape[1]
+        k_new, v_new = self.attention.project_kv(keys, values)
+        idx = cache_index
+        k_cache = k_cache.at[:, idx].set(k_new[:, 0])
+        v_cache = v_cache.at[:, idx].set(v_new[:, 0])
+        # mask out slots beyond the current step
+        slot = jnp.arange(t_max)[None, None, None, :] > idx  # [1,1,1,T]
+        full_mask = slot if mask is None else jnp.logical_or(mask, slot)
+        out = self.attention(
+            queries, k_cache, v_cache, full_mask,
+            deterministic=deterministic, kv_projected=True,
+        )
+        out = self.drop(out, deterministic=deterministic)
+        return self.layer_norm(queries + out), (k_cache, v_cache)
+
+
+class FeedForward(nn.Module):
+    """Position-wise FFN with post-LN residual (pos_embed.py:34-48)."""
+
+    d_model: int = 512
+    d_ff: int = 2048
+    dropout: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        h = dense(self.d_ff, "fc1", dtype=self.dtype)(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = dense(self.d_model, "fc2", dtype=self.dtype)(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(x + h)

@@ -1,0 +1,286 @@
+"""Autoregressive caption generator (decoder) over dual visual features.
+
+Math parity: reference models/caption/cap_generator.py.
+
+- token embedding + frozen sinusoid position table (padding row 0 zeroed),
+- N post-LN layers in three variants: ``parallel`` (default — dual
+  cross-attention with sigmoid-gated fusion), ``sequential``, ``concat``,
+- tied nothing; output head is a bias-free Linear + log_softmax.
+
+The reference computes BOTH fusion gates with ``fc_alpha1``'s weights
+(cap_generator.py:48-49 — ``fc_alpha2`` is created but unused).  Checkpoint
+parity requires replicating this, controlled by ``replicate_alpha_bug``
+(default True).  Set False for a fixed, trained-from-scratch model.
+
+Two execution paths:
+- ``__call__``: full-sequence teacher forcing (training / XE loss) with a
+  causal + pad mask, one fused XLA graph.
+- ``decode_step``: single-token step against fixed-shape KV caches, used by
+  greedy/beam decoding inside ``lax.scan`` (replaces the reference's
+  dynamic-shape stateful buffers, containers.py:13-84).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from grit_tpu.models.attention import (
+    LN_EPS,
+    FeedForward,
+    KVCache,
+    MultiHeadAttention,
+    dense,
+)
+from grit_tpu.ops.posemb import sinusoid_encoding_table
+
+DecodeCache = dict  # {'layers': tuple[KVCache, ...], 'pad_hist': [B, T] bool}
+
+
+class ParallelAttentionLayer(nn.Module):
+    d_model: int = 512
+    n_heads: int = 8
+    d_ff: int = 2048
+    dropout: float = 0.1
+    n_memories: int = 0
+    replicate_alpha_bug: bool = True
+    dtype: Any = None
+
+    def setup(self):
+        self.self_att = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, n_memories=0,
+            dtype=self.dtype, name="self_att",
+        )
+        self.vis_att1 = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, n_memories=self.n_memories,
+            dtype=self.dtype, name="vis_att1",
+        )
+        self.vis_att2 = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, n_memories=self.n_memories,
+            dtype=self.dtype, name="vis_att2",
+        )
+        self.fc_alpha1 = dense(self.d_model, "fc_alpha1", dtype=self.dtype)
+        self.fc_alpha2 = dense(self.d_model, "fc_alpha2", dtype=self.dtype)
+        self.pwff = FeedForward(self.d_model, self.d_ff, self.dropout, dtype=self.dtype, name="pwff")
+
+    def _fuse(self, self_att, enc1, enc2, mask_pad, *, deterministic):
+        alpha_fc2 = self.fc_alpha1 if self.replicate_alpha_bug else self.fc_alpha2
+        alpha1 = nn.sigmoid(self.fc_alpha1(jnp.concatenate([self_att, enc1], -1)))
+        alpha2 = nn.sigmoid(alpha_fc2(jnp.concatenate([self_att, enc2], -1)))
+        enc = (enc1 * alpha1 + enc2 * alpha2) / np.sqrt(2)
+        enc = enc * mask_pad
+        return self.pwff(enc, deterministic=deterministic) * mask_pad
+
+    def __call__(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, *, deterministic=True):
+        self_att = self.self_att(x, x, x, mask_x, deterministic=deterministic) * mask_pad
+        enc1 = self.vis_att1(self_att, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
+        enc2 = self.vis_att2(self_att, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
+        return self._fuse(self_att, enc1, enc2, mask_pad, deterministic=deterministic)
+
+    def decode(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, cache, cache_index,
+               *, deterministic=True):
+        self_att, cache = self.self_att(
+            x, x, x, mask_x, deterministic=deterministic,
+            cache=cache, cache_index=cache_index,
+        )
+        self_att = self_att * mask_pad
+        enc1 = self.vis_att1(self_att, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
+        enc2 = self.vis_att2(self_att, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
+        return self._fuse(self_att, enc1, enc2, mask_pad, deterministic=deterministic), cache
+
+
+class SequentialAttentionLayer(nn.Module):
+    d_model: int = 512
+    n_heads: int = 8
+    d_ff: int = 2048
+    dropout: float = 0.1
+    n_memories: int = 0
+    dtype: Any = None
+
+    def setup(self):
+        self.self_att = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, n_memories=0,
+            dtype=self.dtype, name="self_att",
+        )
+        self.vis_att1 = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, n_memories=self.n_memories,
+            dtype=self.dtype, name="vis_att1",
+        )
+        self.vis_att2 = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, n_memories=self.n_memories,
+            dtype=self.dtype, name="vis_att2",
+        )
+        self.pwff = FeedForward(self.d_model, self.d_ff, self.dropout, dtype=self.dtype, name="pwff")
+
+    def __call__(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, *, deterministic=True):
+        out = self.self_att(x, x, x, mask_x, deterministic=deterministic) * mask_pad
+        out = self.vis_att1(out, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
+        out = self.vis_att2(out, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
+        return self.pwff(out, deterministic=deterministic) * mask_pad
+
+    def decode(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, cache, cache_index,
+               *, deterministic=True):
+        out, cache = self.self_att(
+            x, x, x, mask_x, deterministic=deterministic,
+            cache=cache, cache_index=cache_index,
+        )
+        out = out * mask_pad
+        out = self.vis_att1(out, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
+        out = self.vis_att2(out, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
+        return self.pwff(out, deterministic=deterministic) * mask_pad, cache
+
+
+class ConcatAttentionLayer(nn.Module):
+    """Single cross-attention over concatenated [grid; region] features.
+
+    Note: the reference's concat branch reads ``vis_inputs['grid_feat']``
+    (a key that never exists — cap_generator.py:151) and would KeyError.
+    Here the concat variant actually works: callers pass the concatenated
+    features as ``y1`` and the concatenated mask as ``mask_y1``.
+    """
+
+    d_model: int = 512
+    n_heads: int = 8
+    d_ff: int = 2048
+    dropout: float = 0.1
+    n_memories: int = 0
+    dtype: Any = None
+
+    def setup(self):
+        self.self_att = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, n_memories=0,
+            dtype=self.dtype, name="self_att",
+        )
+        self.vis_att = MultiHeadAttention(
+            self.d_model, self.n_heads, self.dropout, n_memories=self.n_memories,
+            dtype=self.dtype, name="vis_att",
+        )
+        self.pwff = FeedForward(self.d_model, self.d_ff, self.dropout, dtype=self.dtype, name="pwff")
+
+    def __call__(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, *, deterministic=True):
+        out = self.self_att(x, x, x, mask_x, deterministic=deterministic) * mask_pad
+        out = self.vis_att(out, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
+        return self.pwff(out, deterministic=deterministic) * mask_pad
+
+    def decode(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, cache, cache_index,
+               *, deterministic=True):
+        out, cache = self.self_att(
+            x, x, x, mask_x, deterministic=deterministic,
+            cache=cache, cache_index=cache_index,
+        )
+        out = out * mask_pad
+        out = self.vis_att(out, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
+        return self.pwff(out, deterministic=deterministic) * mask_pad, cache
+
+
+GENERATOR_LAYER = {
+    "parallel": ParallelAttentionLayer,
+    "sequential": SequentialAttentionLayer,
+    "concat": ConcatAttentionLayer,
+}
+
+
+class CaptionGenerator(nn.Module):
+    vocab_size: int
+    max_len: int
+    n_layers: int
+    pad_idx: int
+    d_model: int = 512
+    n_heads: int = 8
+    d_ff: int = 2048
+    dropout: float = 0.1
+    decoder_name: str = "parallel"
+    replicate_alpha_bug: bool = True
+    dtype: Any = None
+
+    def setup(self):
+        self.word_emb = self.param(
+            "word_emb", nn.initializers.xavier_uniform(), (self.vocab_size, self.d_model)
+        )
+        self.pos_table = sinusoid_encoding_table(self.max_len + 1, self.d_model, padding_idx=0)
+        layer_cls = GENERATOR_LAYER[self.decoder_name]
+        kwargs = dict(
+            d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
+            dropout=self.dropout, dtype=self.dtype,
+        )
+        if self.decoder_name == "parallel":
+            kwargs["replicate_alpha_bug"] = self.replicate_alpha_bug
+        self.layers = [layer_cls(**kwargs, name=f"layers_{i}") for i in range(self.n_layers)]
+        self.fc = dense(self.vocab_size, "fc", use_bias=False, dtype=self.dtype)
+
+    def _vis(self, vis_inputs: dict):
+        if self.decoder_name == "concat":
+            y = jnp.concatenate([vis_inputs["gri_feat"], vis_inputs["reg_feat"]], axis=1)
+            mask_y = jnp.concatenate([vis_inputs["gri_mask"], vis_inputs["reg_mask"]], axis=3)
+            return y, y, mask_y, mask_y
+        return (
+            vis_inputs["gri_feat"], vis_inputs["reg_feat"],
+            vis_inputs["gri_mask"], vis_inputs["reg_mask"],
+        )
+
+    def __call__(self, input_ids: jnp.ndarray, vis_inputs: dict, *, deterministic=True):
+        """Teacher-forced forward.  input_ids: int [B, L] -> log-probs [B, L, V].
+
+        Mask construction parity: cap_generator.py:126-145.
+        """
+        b, L = input_ids.shape
+        is_pad = input_ids == self.pad_idx
+        mask_pad = (~is_pad)[..., None].astype(self.pos_table.dtype)  # [B, L, 1]
+        causal = np.triu(np.ones((L, L), bool), k=1)[None, None]  # [1, 1, L, L]
+        mask_x = jnp.logical_or(jnp.asarray(causal), is_pad[:, None, None, :])
+
+        seq = jnp.arange(1, L + 1)[None, :] * (~is_pad)  # 0 at pads -> zero pos row
+        x = self.word_emb[input_ids] + self.pos_table[seq]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        y1, y2, m1, m2 = self._vis(vis_inputs)
+        for layer in self.layers:
+            x = layer(x, y1, y2, mask_pad, mask_x, m1, m2, deterministic=deterministic)
+        return nn.log_softmax(self.fc(x), axis=-1)
+
+    def init_cache(self, batch: int, t_max: int, dtype=jnp.float32) -> DecodeCache:
+        zeros = jnp.zeros((batch, t_max, self.d_model), self.dtype or dtype)
+        return {
+            "layers": tuple((zeros, zeros) for _ in range(self.n_layers)),
+            "pad_hist": jnp.zeros((batch, t_max), bool),
+        }
+
+    def decode_step(
+        self,
+        token: jnp.ndarray,       # int [B, 1] — current input token
+        t: jnp.ndarray,           # traced scalar timestep (0-based)
+        vis_inputs: dict,
+        cache: DecodeCache,
+        *,
+        deterministic: bool = True,
+    ):
+        """One decoding step -> (log-probs [B, V], new cache)."""
+        b = token.shape[0]
+        is_pad = token == self.pad_idx  # [B, 1]
+        mask_pad = (~is_pad)[..., None].astype(self.pos_table.dtype)  # [B, 1, 1]
+        pad_hist = cache["pad_hist"].at[:, t].set(is_pad[:, 0])
+        # attention mask over cache slots: past pad tokens are masked; slots
+        # beyond t are masked inside MultiHeadAttention via cache_index.
+        mask_x = pad_hist[:, None, None, :]  # [B, 1, 1, T_max]
+
+        x = self.word_emb[token] + self.pos_table[t + 1][None, None, :]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        y1, y2, m1, m2 = self._vis(vis_inputs)
+        new_layer_caches = []
+        for layer, layer_cache in zip(self.layers, cache["layers"]):
+            x, new_cache = layer.decode(
+                x, y1, y2, mask_pad, mask_x, m1, m2, layer_cache, t,
+                deterministic=deterministic,
+            )
+            new_layer_caches.append(new_cache)
+        logits = self.fc(x)[:, 0]  # [B, V]
+        return (
+            nn.log_softmax(logits, axis=-1),
+            {"layers": tuple(new_layer_caches), "pad_hist": pad_hist},
+        )

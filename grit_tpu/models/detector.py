@@ -1,0 +1,99 @@
+"""Caption-flavor detector: Swin backbone + deformable decoder -> dual features.
+
+Math parity: reference models/caption/detector.py.
+
+- grid features = the extra H/64 Swin map flattened: [B, (H/64)(W/64), 1024]
+  with its pad mask broadcast to attention shape [B, 1, 1, S] (:54-55);
+- region features = last decoder layer's 150 query states [B, 150, d_model]
+  with an all-valid mask (:60-61);
+- per-level 1x1 conv + GroupNorm(32) input projections (:28-33).
+
+Per-level pad masks come from strided subsampling of the image mask
+(equivalent to the reference's nearest interpolation for our multiple-of-64
+padded inputs — see grit_tpu.utils.nested.downsample_mask).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from grit_tpu.models.det_module import DetectionModule
+from grit_tpu.models.swin import SwinTransformer, swin_base_win12_384
+from grit_tpu.utils.nested import ImageBatch, downsample_mask
+
+
+class Detector(nn.Module):
+    backbone: SwinTransformer
+    det_module: DetectionModule | None = None
+    use_gri_feat: bool = True
+    use_reg_feat: bool = True
+    hidden_dim: int = 512
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, images: ImageBatch, *, deterministic: bool = True) -> dict:
+        features = self.backbone(images.images, deterministic=deterministic)
+        # feature strides: stage outputs 1..n-1 plus the extra merged map
+        # (reference strides 8/16/32/64 for the 4-stage patch-4 backbone)
+        n_stages = len(self.backbone.depths)
+        patch = self.backbone.patch_size
+        strides = [patch * 2 ** s for s in range(1, n_stages)] + [patch * 2 ** n_stages]
+        masks = [downsample_mask(images.mask, s) for s in strides]
+
+        b = images.images.shape[0]
+        out = {}
+        if self.use_gri_feat:
+            gri = features[-1]
+            out["gri_feat"] = gri.reshape(b, -1, gri.shape[-1])
+            out["gri_mask"] = masks[-1].reshape(b, 1, 1, -1)
+
+        if self.use_reg_feat:
+            srcs = []
+            for lvl, feat in enumerate(features):
+                x = nn.Conv(
+                    self.hidden_dim, (1, 1), name=f"input_proj_{lvl}_conv",
+                    dtype=self.dtype,
+                )(feat)
+                x = nn.GroupNorm(
+                    num_groups=32, epsilon=1e-5, name=f"input_proj_{lvl}_norm"
+                )(x)
+                srcs.append(x)
+            hs, _, _ = self.det_module(srcs, masks, deterministic=deterministic)
+            out["reg_feat"] = hs[-1]
+            out["reg_mask"] = jnp.zeros((b, 1, 1, hs[-1].shape[1]), bool)
+        return out
+
+
+def build_detector(config, dtype=None) -> Detector:
+    """Assemble backbone + det module from a caption config (detector.py:65-84)."""
+    backbone = swin_base_win12_384(dtype=dtype)
+    det_cfg = config.model.detector
+    det_module = None
+    if config.model.use_reg_feat:
+        det_module = DetectionModule(
+            d_model=det_cfg.d_model,
+            n_heads=det_cfg.num_heads,
+            num_layers=det_cfg.num_layers,
+            dim_feedforward=det_cfg.dim_feedforward,
+            dropout=det_cfg.dropout,
+            num_levels=det_cfg.num_levels,
+            num_points=det_cfg.num_points,
+            num_classes=det_cfg.num_classes,
+            num_queries=det_cfg.num_queries,
+            with_box_refine=det_cfg.with_box_refine,
+            msda_impl=config.model.get("msda_impl", "xla"),
+            dtype=dtype,
+            name="det_module",
+        )
+    return Detector(
+        backbone=backbone,
+        det_module=det_module,
+        hidden_dim=config.model.d_model,
+        use_gri_feat=config.model.use_gri_feat,
+        use_reg_feat=config.model.use_reg_feat,
+        dtype=dtype,
+        name="detector",
+    )

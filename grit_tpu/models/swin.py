@@ -1,0 +1,288 @@
+"""Swin Transformer backbone (GRIT flavor), TPU-first.
+
+Math parity: reference models/common/swin_model.py.
+
+GRIT's Swin variant differs from stock Swin: EVERY stage has a PatchMerging
+downsample, including the last (swin_model.py:600), whose merge projects to
+``pos_dim`` (=1024) instead of doubling (``expand=False``, :315), yielding an
+extra H/64 grid.  The backbone returns four maps: stage-2/3/4 outputs
+(channels 256/512/1024) plus the extra H/64 x W/64 map (channels 1024)
+(:659-671).  ``swin_base_win7_384``: embed 128, depths [2,2,18,2], heads
+[4,8,16,32], window 12 (:690-699).
+
+TPU design notes:
+- channels-last [B, H*W, C] token layout with static (H, W) carried as Python
+  ints — all reshapes/rolls are static so XLA compiles one fused program;
+- cyclic shift is ``jnp.roll`` (a cheap HBM-local rotate under XLA);
+- the shifted-window mask and relative-position index are numpy constants
+  baked at trace time (grit_tpu.ops.window);
+- no image-padding mask inside window attention, matching the reference
+  (padded pixels participate; masking happens downstream);
+- GELU is exact (erf) to match torch's default nn.GELU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grit_tpu.models.attention import LN_EPS
+from grit_tpu.ops.window import (
+    relative_position_index,
+    shifted_window_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Stochastic depth: drop the residual branch per sample (timm semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        x = nn.Dense(self.hidden, name="fc1", dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, name="fc2", dtype=self.dtype)(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window: int
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, bias_mask=None, *, deterministic=True):
+        """x: [nW*B, N, C] with N = window²; bias_mask: [nW, N, N] additive or None."""
+        b_, n, c = x.shape
+        h = self.num_heads
+        d = c // h
+        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
+        qkv = qkv.reshape(b_, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * (d ** -0.5), qkv[1], qkv[2]
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, h),
+        )
+        rel_idx = relative_position_index((self.window, self.window))  # [N, N]
+        bias = table[rel_idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if bias_mask is not None:
+            nw = bias_mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, h, n, n) + bias_mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(b_, h, n, n)
+        attn = nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        out = nn.Dense(c, name="proj", dtype=self.dtype)(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int = 12
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, hw: tuple[int, int], *, deterministic=True):
+        h, w = hw
+        b, L, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+
+        pad_b = (self.window - h % self.window) % self.window
+        pad_r = (self.window - w % self.window) % self.window
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+
+        if self.shift > 0:
+            x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(hp, wp, self.window, self.shift))
+        else:
+            mask = None
+
+        windows = window_partition(x, self.window)
+        attn_out = WindowAttention(
+            self.dim, self.window, self.num_heads,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            dtype=self.dtype, name="attn",
+        )(windows, mask, deterministic=deterministic)
+        x = window_reverse(attn_out, self.window, hp, wp)
+
+        if self.shift > 0:
+            x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :h, :w]
+        x = x.reshape(b, L, c)
+
+        rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+        mlp_out = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp"
+        )(nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x), deterministic=deterministic)
+        rng2 = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
+        return x + drop_path(mlp_out, self.drop_path_rate, deterministic, rng2)
+
+
+class PatchMerging(nn.Module):
+    """2x2 token merge: LN(4C) then Linear(4C -> 2C) — or -> pos_dim when last."""
+
+    dim: int
+    out_dim: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, hw: tuple[int, int]):
+        h, w = hw
+        b, L, c = x.shape
+        x = x.reshape(b, h, w, c)
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(b, -1, 4 * c)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
+        return nn.Dense(self.out_dim, use_bias=False, name="reduction", dtype=self.dtype)(x)
+
+
+class BasicLayer(nn.Module):
+    dim: int
+    out_dim: int
+    depth: int
+    num_heads: int
+    window: int = 12
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rates: Sequence[float] = ()
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, hw: tuple[int, int], *, deterministic=True):
+        h, w = hw
+        for i in range(self.depth):
+            x = SwinBlock(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window=self.window,
+                shift=0 if i % 2 == 0 else self.window // 2,
+                drop=self.drop,
+                attn_drop=self.attn_drop,
+                drop_path_rate=self.drop_path_rates[i] if self.drop_path_rates else 0.0,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, hw, deterministic=deterministic)
+        x_down = PatchMerging(self.dim, self.out_dim, dtype=self.dtype, name="downsample")(x, hw)
+        return x, x_down, ((h + 1) // 2, (w + 1) // 2)
+
+
+class SwinTransformer(nn.Module):
+    """GRIT Swin backbone; returns 4 NHWC feature maps (strides 8/16/32/64)."""
+
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window: int = 12
+    patch_size: int = 4
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.3
+    pos_dim: int = 1024
+    dtype: Any = None
+
+    @property
+    def num_channels(self) -> list[int]:
+        feats = [int(self.embed_dim * 2 ** i) for i in range(len(self.depths))]
+        return feats[1:] + [self.pos_dim]
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, *, deterministic=True) -> list[jnp.ndarray]:
+        """images: [B, H, W, 3] with H, W multiples of 64 -> list of 4 NHWC maps."""
+        b, h, w, _ = images.shape
+        x = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            name="patch_embed_proj", dtype=self.dtype,
+        )(images)
+        wh, ww = x.shape[1], x.shape[2]
+        x = x.reshape(b, wh * ww, self.embed_dim)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="patch_embed_norm")(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        total = sum(self.depths)
+        dpr = list(np.linspace(0, self.drop_path_rate, total))
+        outs = []
+        hw = (wh, ww)
+        for stage in range(len(self.depths)):
+            dim = int(self.embed_dim * 2 ** stage)
+            last = stage == len(self.depths) - 1
+            out_dim = self.pos_dim if last else 2 * dim
+            start = sum(self.depths[:stage])
+            x_out, x, new_hw = BasicLayer(
+                dim=dim,
+                out_dim=out_dim,
+                depth=self.depths[stage],
+                num_heads=self.num_heads[stage],
+                window=self.window,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path_rates=dpr[start:start + self.depths[stage]],
+                dtype=self.dtype,
+                name=f"layers_{stage}",
+            )(x, hw, deterministic=deterministic)
+            if stage > 0:
+                outs.append(x_out.reshape(b, hw[0], hw[1], dim))
+            hw = new_hw
+        outs.append(x.reshape(b, hw[0], hw[1], self.pos_dim))
+        return outs
+
+
+def swin_base_win12_384(dtype=None, drop_path_rate: float = 0.3) -> SwinTransformer:
+    """The backbone GRIT ships (misnamed win7 upstream — it is window 12;
+    reference swin_base_win7_384, swin_model.py:690-699)."""
+    return SwinTransformer(
+        embed_dim=128,
+        depths=(2, 2, 18, 2),
+        num_heads=(4, 8, 16, 32),
+        window=12,
+        drop_path_rate=drop_path_rate,
+        pos_dim=1024,
+        dtype=dtype,
+    )

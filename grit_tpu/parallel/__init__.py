@@ -1,0 +1,7 @@
+from grit_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    param_shardings,
+    batch_sharding,
+)

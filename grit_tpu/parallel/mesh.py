@@ -1,0 +1,129 @@
+"""Device mesh and sharding layout for grit_tpu.
+
+The reference's only parallelism is NCCL data-parallel DDP
+(train_caption.py:61, SURVEY.md section 2.3).  On TPU that maps to a
+``jax.sharding.Mesh`` and GSPMD: batches are sharded over a ``data`` axis,
+parameters are replicated (or tensor-sharded over a ``model`` axis), and XLA
+inserts the gradient ``psum`` and any tensor-parallel collectives over ICI —
+there is no hand-written communication.
+
+Mesh layout:
+- axis ``data``: data parallelism (gradient all-reduce — DDP equivalent);
+- axis ``model``: optional tensor parallelism.  GRIT is ~200M params so TP is
+  not needed for memory, but sharding the widest matmuls (vocab head, FFNs)
+  over ``model`` lets small batches scale past the point where pure DP runs
+  out of per-chip batch.  With ``model=1`` this degenerates to pure DP.
+
+``param_shardings`` derives a NamedSharding pytree from parameter-path rules;
+passing those shardings to ``jax.jit``'s in_shardings is all GSPMD needs —
+the collectives come out of the compiler, following the standard
+mesh/annotate/compile recipe.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# parameter-path regexes -> PartitionSpec over ('data', 'model') axes.
+# Only the big, safely-shardable matmuls are tensor-sharded; everything else
+# is replicated.  Rules are matched against '/'-joined flax param paths.
+_TP_RULES: list[tuple[re.Pattern, P]] = [
+    # caption-generator vocab head [d_model, vocab] — shard vocab
+    (re.compile(r"cap_generator/fc/kernel$"), P(None, "model")),
+    # FFN up-projections [d_model, d_ff] — shard d_ff
+    (re.compile(r"pwff/fc1/kernel$"), P(None, "model")),
+    # FFN down-projections [d_ff, d_model] — shard d_ff (contracting)
+    (re.compile(r"pwff/fc2/kernel$"), P("model", None)),
+    # Swin MLPs
+    (re.compile(r"mlp/fc1/kernel$"), P(None, "model")),
+    (re.compile(r"mlp/fc2/kernel$"), P("model", None)),
+]
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh. Defaults to all devices on the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(tree: Any, mesh: Mesh) -> Any:
+    """Device-put a host batch with its leading axis split over ``data``."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
+    """NamedSharding pytree for params: TP rules on big matmuls, else replicated.
+
+    With ``mesh`` having model-axis size 1 (or tensor_parallel=False) this is
+    full replication — the DDP-equivalent layout.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    use_tp = tensor_parallel and mesh.shape.get("model", 1) > 1
+
+    def spec_for(path_str: str, x) -> P:
+        if use_tp:
+            for pat, spec in _TP_RULES:
+                if pat.search(path_str):
+                    # only shard if the dimension divides evenly
+                    dims = [d for d in spec if d is not None]
+                    ok = True
+                    for axis_i, axis_name in enumerate(spec):
+                        if axis_name is not None and (
+                            axis_i >= x.ndim
+                            or x.shape[axis_i] % mesh.shape[axis_name] != 0
+                        ):
+                            ok = False
+                    if ok and dims:
+                        return spec
+        return P()
+
+    def path_to_str(path) -> str:
+        parts = []
+        for p in path:
+            if hasattr(p, "key"):
+                parts.append(str(p.key))
+            elif hasattr(p, "idx"):
+                parts.append(str(p.idx))
+        return "/".join(parts)
+
+    specs = {path_to_str(path): spec_for(path_to_str(path), leaf) for path, leaf in flat}
+
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, specs[path_to_str(path)])
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_params(params: Any, mesh: Mesh, tensor_parallel: bool = True) -> Any:
+    """Device-put params according to ``param_shardings``."""
+    shardings = param_shardings(params, mesh, tensor_parallel)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,191 @@
+"""Model-stack tests: shapes, teacher-forcing vs cached decode parity, beam search.
+
+The cached-decode parity test is the critical one: stepping the decoder one
+token at a time through the fixed-shape KV cache must reproduce the
+teacher-forced log-probs exactly (this is what guarantees beam search scores
+the same model the XE loss trains).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grit_tpu.config import default_caption_config
+from grit_tpu.decoding.beam_search import beam_search, greedy_search
+from grit_tpu.models.captioner import GRITCaptioner
+from grit_tpu.models.det_module import DetectionModule
+from grit_tpu.models.detector import Detector
+from grit_tpu.models.swin import SwinTransformer
+from grit_tpu.utils.nested import batch_images
+
+VOCAB = 50
+D = 32
+MAXLEN = 12
+PAD, BOS, EOS = 1, 2, 3
+
+
+def tiny_captioner():
+    backbone = SwinTransformer(
+        embed_dim=16, depths=(1, 1), num_heads=(2, 2), window=4,
+        drop_path_rate=0.0, pos_dim=D,
+    )
+    det = DetectionModule(
+        d_model=D, n_heads=4, num_layers=2, dim_feedforward=64,
+        num_levels=2, num_points=2, num_classes=10, num_queries=6,
+        name="det_module",
+    )
+    detector = Detector(backbone=backbone, det_module=det, hidden_dim=D)
+    return GRITCaptioner(
+        detector=detector,
+        grid_feat_dim=D,
+        d_model=D,
+        n_heads=4,
+        vocab_size=VOCAB,
+        max_len=MAXLEN,
+        pad_idx=PAD,
+        bos_idx=BOS,
+        eos_idx=EOS,
+        dropout=0.1,
+        grid_net_layers=2,
+        cap_gen_layers=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = tiny_captioner()
+    imgs = batch_images(
+        [np.random.RandomState(0).rand(64, 64, 3).astype(np.float32),
+         np.random.RandomState(1).rand(48, 64, 3).astype(np.float32)],
+        bucket_hw=(64, 64), pad_multiple=16,
+    )
+    seq = jnp.array([[BOS, 5, 6, 7, EOS, PAD], [BOS, 9, 10, EOS, PAD, PAD]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), imgs, seq)
+    return model, params, imgs, seq
+
+
+class TestForward:
+    def test_teacher_forced_shapes(self, model_and_params):
+        model, params, imgs, seq = model_and_params
+        out = model.apply(params, imgs, seq)
+        assert out.shape == (2, seq.shape[1], VOCAB)
+        # log_softmax rows sum to 1 in prob space
+        np.testing.assert_allclose(
+            np.exp(np.asarray(out)).sum(-1), 1.0, rtol=1e-4
+        )
+
+    def test_vis_shapes(self, model_and_params):
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        assert vis["gri_feat"].shape == (2, 4 * 4, D)  # 64/16 grid
+        assert vis["reg_feat"].shape == (2, 6, D)
+        assert vis["gri_mask"].shape == (2, 1, 1, 16)
+        assert vis["reg_mask"].shape == (2, 1, 1, 6)
+        # image 2 has 16 rows of padding -> one masked grid row at stride 16
+        m = np.asarray(vis["gri_mask"])[1, 0, 0].reshape(4, 4)
+        assert m[3].all() and not m[:3].any()
+
+    def test_grads_flow(self, model_and_params):
+        model, params, imgs, seq = model_and_params
+
+        def loss(p):
+            out = model.apply(p, imgs, seq)
+            return -out.mean()
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # most leaves get nonzero grads
+        nonzero = sum(bool(np.abs(np.asarray(l)).sum() > 0) for l in leaves)
+        assert nonzero / len(leaves) > 0.8
+
+
+class TestCachedDecodeParity:
+    def test_stepwise_matches_teacher_forced(self, model_and_params):
+        model, params, imgs, _ = model_and_params
+        tokens = jnp.array([[BOS, 5, 6, 7, 8], [BOS, 9, 10, 11, 12]], jnp.int32)
+        # NOTE: __call__(vis_dict, seq) would re-run grid_net (the cached-
+        # features path expects detector outputs), so teacher-force from raw
+        # images and decode from compute_vis — both apply grid_net once.
+        full = model.apply(params, imgs, tokens)  # [B, 5, V]
+        vis = model.apply(params, imgs, method="compute_vis")
+
+        cache = model.apply(params, 2, MAXLEN, method="init_cache")
+        step_logps = []
+        for t in range(tokens.shape[1]):
+            logp, cache = model.apply(
+                params, tokens[:, t:t + 1], jnp.asarray(t), vis, cache,
+                method="decode_step",
+            )
+            step_logps.append(logp)
+        stepwise = jnp.stack(step_logps, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(stepwise), np.asarray(full), rtol=2e-4, atol=2e-5
+        )
+
+
+class TestBeamSearch:
+    def _decode_fn(self, model, params):
+        def fn(token, t, vis, cache):
+            return model.apply(params, token, t, vis, cache, method="decode_step")
+        return fn
+
+    def test_greedy_matches_manual_argmax(self, model_and_params):
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        cache = model.apply(params, 2, MAXLEN, method="init_cache")
+        seqs, logps = greedy_search(
+            self._decode_fn(model, params), cache, vis, 2, MAXLEN, BOS, EOS
+        )
+        assert seqs.shape == (2, MAXLEN)
+
+        # manual greedy loop must agree
+        cache2 = model.apply(params, 2, MAXLEN, method="init_cache")
+        tok = jnp.full((2, 1), BOS, jnp.int32)
+        manual = []
+        done = np.zeros(2, bool)
+        for t in range(MAXLEN):
+            logp, cache2 = model.apply(
+                params, tok, jnp.asarray(t), vis, cache2, method="decode_step"
+            )
+            nxt = np.asarray(jnp.argmax(logp, -1))
+            nxt = np.where(done, 0, nxt)  # frozen beams pick token 0
+            manual.append(nxt)
+            done |= nxt == EOS
+            tok = jnp.asarray(nxt[:, None], jnp.int32)
+        manual = np.stack(manual, 1)
+        np.testing.assert_array_equal(np.asarray(seqs), manual)
+
+    def test_beam_improves_or_matches_greedy_score(self, model_and_params):
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        fn = self._decode_fn(model, params)
+        g_cache = model.apply(params, 2, MAXLEN, method="init_cache")
+        res1 = beam_search(fn, g_cache, vis, 2, 1, MAXLEN, BOS, EOS)
+        b_cache = model.apply(params, 2 * 3, MAXLEN, method="init_cache")
+        res3 = beam_search(fn, b_cache, vis, 2, 3, MAXLEN, BOS, EOS, out_size=3)
+        assert res3.sequences.shape == (2, 3, MAXLEN)
+        # beam-3 top score >= greedy score (beam search only widens the search)
+        assert np.all(np.asarray(res3.scores[:, 0]) >= np.asarray(res1.scores[:, 0]) - 1e-5)
+        # scores sorted descending
+        s = np.asarray(res3.scores)
+        assert np.all(s[:, :-1] >= s[:, 1:] - 1e-6)
+        # total score equals sum of per-step word log-probs for the top beam
+        np.testing.assert_allclose(
+            np.asarray(res3.scores[:, 0]),
+            np.asarray(res3.log_probs[:, 0].sum(-1)), rtol=1e-4, atol=1e-4,
+        )
+
+    def test_beam_jits(self, model_and_params):
+        model, params, imgs, _ = model_and_params
+        fn = self._decode_fn(model, params)
+
+        @jax.jit
+        def run(vis):
+            cache = model.apply(params, 2 * 2, MAXLEN, method="init_cache")
+            return beam_search(fn, cache, vis, 2, 2, MAXLEN, BOS, EOS)
+
+        vis = model.apply(params, imgs, method="compute_vis")
+        res = run(vis)
+        assert res.sequences.shape == (2, 1, MAXLEN)

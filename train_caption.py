@@ -1,0 +1,188 @@
+"""Caption training CLI: 4-phase XE -> SCST schedule on a TPU mesh.
+
+Reference parity: train_caption.py (phase machine :95-113, freeze logic
+:48-59, SC warm-start from best-valid :131-133, per-phase checkpoints
+:181-202).  One process drives all local chips through a jax mesh — the
+reference's mp.spawn/DDP plumbing disappears into GSPMD.
+
+Usage:
+  python train_caption.py exp.name=run1 optimizer.finetune_xe_epochs=10 ...
+  (dotted overrides like the reference's hydra CLI; config defaults mirror
+  configs/caption/coco_config.yaml)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    from grit_tpu.config import default_caption_config
+    from grit_tpu.convert import load_detector_checkpoint
+    from grit_tpu.data.coco import build_coco_dataloaders
+    from grit_tpu.data.field import TextField
+    from grit_tpu.data.metrics import Cider, PTBTokenizer
+    from grit_tpu.engine import checkpoint as ckpt
+    from grit_tpu.engine.evaluator import evaluate_metrics, make_caption_generator
+    from grit_tpu.engine.loops import (
+        log_epoch_csv,
+        phase_for_epoch,
+        total_epochs,
+        train_sc_epoch,
+        train_xe_epoch,
+    )
+    from grit_tpu.engine.optim import build_optimizer, frozen_mask
+    from grit_tpu.engine.scst import make_generate_step, make_scst_update_step
+    from grit_tpu.engine.xe import TrainState, make_eval_loss_step, make_xe_train_step
+    from grit_tpu.models.captioner import build_captioner
+    from grit_tpu.parallel.mesh import make_mesh, replicate
+    from grit_tpu.utils.nested import ImageBatch
+
+    config = default_caption_config().apply_overrides(argv or sys.argv[1:])
+    workdir = os.path.join("outputs", config.exp.name)
+    os.makedirs(workdir, exist_ok=True)
+
+    mesh = make_mesh()
+    print(f"devices: {jax.device_count()}, mesh: {dict(mesh.shape)}")
+
+    dtype = jnp.bfloat16 if config.model.get("compute_dtype") == "bfloat16" else None
+    model = build_captioner(config, dtype=dtype)
+    text_field = TextField(vocab_path=config.dataset.vocab_path)
+
+    # init params with a dummy batch
+    h, w = config.dataset.transform_cfg.size
+    dummy = ImageBatch(jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w), bool))
+    dummy_seq = jnp.full((1, 8), config.model.bos_idx, jnp.int32)
+    params = model.init(jax.random.PRNGKey(config.exp.seed), dummy, dummy_seq)
+
+    # load pretrained detector weights (reference train_caption.py:38-39)
+    det_ckpt = config.model.detector.checkpoint
+    if det_ckpt and os.path.exists(det_ckpt):
+        loaded = load_detector_checkpoint(det_ckpt)
+        det_params, miss, unexp = ckpt.load_params_flexible(
+            params["params"]["detector"], loaded["params"]
+        )
+        params["params"]["detector"] = det_params
+        print(f"Loading weights for detector: missing: {miss}, unexpected: {unexp}.")
+
+    params = replicate(params, mesh)
+
+    # freezing (train_caption.py:48-57): substring rules on param paths
+    freeze = None
+    if config.optimizer.get("freeze_backbone"):
+        freeze = frozen_mask(params, lambda p: "backbone" in p)
+    if config.optimizer.get("freeze_detector"):
+        freeze = frozen_mask(params, lambda p: "detector" in p)
+
+    tx, labels = build_optimizer(
+        params, beta_1=config.optimizer.beta_1, beta_2=config.optimizer.beta_2
+    )
+    state = TrainState.create(params, tx)
+
+    mode = (
+        "freezing"
+        if config.optimizer.freezing_xe_epochs > 0
+        and not config.optimizer.get("freeze_backbone")
+        else "finetune"
+    )
+    dataloaders, samplers = build_coco_dataloaders(config, mode=mode)
+
+    train_refs = [ex.text for ex in dataloaders["train"].dataset.examples]
+    cider = Cider(PTBTokenizer.tokenize(train_refs))
+
+    sched_cfg = dict(
+        num_epochs=config.optimizer.freezing_xe_epochs + config.optimizer.finetune_xe_epochs,
+        num_its_per_epoch=max(1, len(dataloaders["train"])),
+        init_lr=config.optimizer.xe_lr,
+        min_lr=config.optimizer.min_lr,
+        warmup_init_lr=config.optimizer.warmup_init_lr,
+    )
+    xe_step = make_xe_train_step(
+        model, tx, labels, pad_idx=config.model.pad_idx, sched_cfg=sched_cfg,
+        backbone_lr=config.optimizer.xe_backbone_lr, freeze=freeze,
+    )
+    eval_loss_step = make_eval_loss_step(model, pad_idx=config.model.pad_idx)
+    generate_eval = make_caption_generator(
+        model, beam_size=config.model.beam_size, max_len=config.model.beam_len,
+        bos_idx=config.model.bos_idx, eos_idx=config.model.eos_idx,
+    )
+    generate_sc = make_generate_step(
+        model, beam_size=config.model.beam_size, max_len=config.model.beam_len,
+        bos_idx=config.model.bos_idx, eos_idx=config.model.eos_idx,
+    )
+    scst_update = make_scst_update_step(
+        model, tx, labels,
+        bos_idx=config.model.bos_idx, eos_idx=config.model.eos_idx,
+        model_lr=config.optimizer.sc_lr, backbone_lr=config.optimizer.sc_backbone_lr,
+        freeze=freeze,
+    )
+
+    rng = jax.random.PRNGKey(config.exp.seed)
+    best_cider_val = best_cider_test = 0.0
+    sc_started = False
+    with mesh:
+        for epoch in range(total_epochs(config)):
+            phase = phase_for_epoch(epoch, config)
+            print(f"Train: epoch={epoch}, phase={phase}")
+            if phase.endswith("xe"):
+                state, train_res, rng = train_xe_epoch(
+                    xe_step, eval_loss_step, state, dataloaders,
+                    epoch=epoch, rng=rng, mesh=mesh,
+                )
+            else:
+                if not sc_started:
+                    # SC warm-start from best-valid (train_caption.py:131-133)
+                    try:
+                        restored = ckpt.restore_checkpoint(workdir, "best_valid")
+                        state = TrainState(
+                            restored["params"], state.opt_state, state.global_steps
+                        )
+                        print("Start self-critical optimization from best_valid")
+                    except Exception as e:
+                        print(f"best_valid restore skipped: {e}")
+                    sc_started = True
+                state, train_res, rng = train_sc_epoch(
+                    generate_sc, scst_update, eval_loss_step, state, dataloaders,
+                    cider, text_field,
+                    beam_size=config.model.beam_size, epoch=epoch, rng=rng, mesh=mesh,
+                )
+            dataloaders["train"].set_epoch(epoch)
+            dataloaders["train_dict"].set_epoch(epoch)
+
+            for split, loader_key, best in (
+                ("valid", "valid_dict", best_cider_val),
+                ("test", "test_dict", best_cider_test),
+            ):
+                scores, _, _ = evaluate_metrics(
+                    generate_eval, state.params, dataloaders[loader_key], text_field,
+                    epoch=epoch, split=split,
+                )
+                log_epoch_csv(
+                    config, epoch, split, scores, train_res, phase,
+                    path=os.path.join(workdir, "result.csv"),
+                )
+                if scores["CIDEr"] >= best:
+                    ckpt.save_checkpoint(
+                        workdir, f"best_{split}", state=state, epoch=epoch,
+                        best_ciders=(scores["CIDEr"], 0.0), config=config,
+                    )
+                    if split == "valid":
+                        best_cider_val = scores["CIDEr"]
+                    else:
+                        best_cider_test = scores["CIDEr"]
+
+            ckpt.save_checkpoint(workdir, phase, state=state, epoch=epoch, config=config)
+            ckpt.save_checkpoint(workdir, "last", state=state, epoch=epoch, config=config)
+            if epoch >= 15:
+                ckpt.save_checkpoint(
+                    workdir, f"epoch_{epoch}", state=state, epoch=epoch, config=config
+                )
+
+
+if __name__ == "__main__":
+    main()
