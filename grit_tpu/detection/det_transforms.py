@@ -1,0 +1,159 @@
+"""DETR-style paired (image, target) transforms for detection training.
+
+Parity: reference datasets/detection/transforms.py:107-238 (crop/hflip/
+resize with box+area updates), :370-388 (Normalize -> cxcywh in [0,1]),
+multi-scale RandomSelect policy and the make_transforms presets (:409-465).
+
+Pure PIL + numpy; targets are dicts {boxes [N,4] xyxy pixels, labels [N],
+area [N], (attributes)}.  Output images are float32 HWC ImageNet-normalized.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+from PIL import Image
+
+from grit_tpu.data.transforms import MEAN, STD
+
+DEFAULT_SCALES = [480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800]
+
+
+def hflip(img: Image.Image, target: dict):
+    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    w = img.size[0]
+    t = dict(target)
+    if len(t.get("boxes", [])):
+        b = t["boxes"].copy()
+        b[:, [0, 2]] = w - t["boxes"][:, [2, 0]]
+        t["boxes"] = b
+    return img, t
+
+
+def resize(img: Image.Image, target: dict, size: int, max_size: int | None = None):
+    """Shortest side -> size, cap longest side at max_size (transforms.py:148-212)."""
+    w, h = img.size
+    short, long = min(w, h), max(w, h)
+    scale = size / short
+    if max_size is not None and long * scale > max_size:
+        scale = max_size / long
+    nw, nh = int(round(w * scale)), int(round(h * scale))
+    img = img.resize((nw, nh), resample=Image.BILINEAR)
+    t = dict(target)
+    sx, sy = nw / w, nh / h
+    if len(t.get("boxes", [])):
+        b = t["boxes"] * np.asarray([sx, sy, sx, sy], np.float32)
+        t["boxes"] = b
+    if "area" in t and len(t["area"]):
+        t["area"] = t["area"] * (sx * sy)
+    return img, t
+
+
+def crop(img: Image.Image, target: dict, region):
+    """region = (top, left, h, w); drops boxes that collapse (transforms.py:107-146)."""
+    top, left, h, w = region
+    img = img.crop((left, top, left + w, top + h))
+    t = dict(target)
+    if len(t.get("boxes", [])):
+        b = t["boxes"] - np.asarray([left, top, left, top], np.float32)
+        b[:, 0::2] = b[:, 0::2].clip(0, w)
+        b[:, 1::2] = b[:, 1::2].clip(0, h)
+        keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+        t["boxes"] = b[keep]
+        for key in ("labels", "area", "attributes"):
+            if key in t and len(t[key]):
+                t[key] = t[key][keep]
+        if "area" in t and len(t["area"]):
+            t["area"] = (b[keep, 2] - b[keep, 0]) * (b[keep, 3] - b[keep, 1])
+    return img, t
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, img, target):
+        if random.random() < self.p:
+            return hflip(img, target)
+        return img, target
+
+
+class RandomResize:
+    def __init__(self, sizes, max_size=None):
+        self.sizes = sizes
+        self.max_size = max_size
+
+    def __call__(self, img, target):
+        return resize(img, target, random.choice(self.sizes), self.max_size)
+
+
+class RandomSizeCrop:
+    def __init__(self, min_size: int, max_size: int):
+        self.min_size = min_size
+        self.max_size = max_size
+
+    def __call__(self, img, target):
+        w = random.randint(self.min_size, min(img.width, self.max_size))
+        h = random.randint(self.min_size, min(img.height, self.max_size))
+        top = random.randint(0, img.height - h)
+        left = random.randint(0, img.width - w)
+        return crop(img, target, (top, left, h, w))
+
+
+class RandomSelect:
+    """Pick transform A with prob p else B (the multi-scale policy switch)."""
+
+    def __init__(self, a, b, p=0.5):
+        self.a, self.b, self.p = a, b, p
+
+    def __call__(self, img, target):
+        return (self.a if random.random() < self.p else self.b)(img, target)
+
+
+class Compose:
+    def __init__(self, ts):
+        self.ts = ts
+
+    def __call__(self, img, target):
+        for t in self.ts:
+            img, target = t(img, target)
+        return img, target
+
+
+class Normalize:
+    """To float array + boxes -> normalized cxcywh (transforms.py:370-388)."""
+
+    def __call__(self, img: Image.Image, target: dict):
+        arr = (np.asarray(img.convert("RGB"), np.float32) / 255.0 - MEAN) / STD
+        h, w = arr.shape[:2]
+        t = dict(target)
+        if len(t.get("boxes", [])):
+            b = t["boxes"].astype(np.float32)
+            cxcywh = np.stack([
+                (b[:, 0] + b[:, 2]) / 2 / w,
+                (b[:, 1] + b[:, 3]) / 2 / h,
+                (b[:, 2] - b[:, 0]) / w,
+                (b[:, 3] - b[:, 1]) / h,
+            ], axis=1)
+            t["boxes"] = cxcywh
+        return arr, t
+
+
+def make_transforms(split: str, scales=None, max_size: int = 1333):
+    """Presets mirroring transforms.py:409-465."""
+    scales = scales or DEFAULT_SCALES
+    if split == "train":
+        return Compose([
+            RandomHorizontalFlip(),
+            RandomSelect(
+                RandomResize(scales, max_size=max_size),
+                Compose([
+                    RandomResize([400, 500, 600]),
+                    RandomSizeCrop(384, 600),
+                    RandomResize(scales, max_size=max_size),
+                ]),
+            ),
+            Normalize(),
+        ])
+    return Compose([RandomResize([800], max_size=max_size), Normalize()])

@@ -85,7 +85,11 @@ def hungarian_match(
     """-> assign [B, G]: query index matched to each gt box, -1 for padding.
 
     Cost parity: focal-style class cost + L1 + (-GIoU) (od_losses.py:412-426).
+    Matching is non-differentiable — computed under stop_gradient, like the
+    reference's ``torch.no_grad`` (od_losses.py:401).
     """
+    pred_logits = jax.lax.stop_gradient(pred_logits)
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
     alpha, gamma = 0.25, 2.0
     prob = jax.nn.sigmoid(pred_logits)  # [B, Q, C]
     neg = (1 - alpha) * prob ** gamma * (-jnp.log(1 - prob + 1e-8))
