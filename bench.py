@@ -47,7 +47,9 @@ def main():
     )
     seq = jnp.full((batch, 20), 4, jnp.int32)
     t0 = time.time()
-    params = model.init(jax.random.PRNGKey(0), images, seq)
+    # jit the init: unjitted tracing dispatches thousands of tiny ops
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, seq)
+    jax.block_until_ready(params)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     def generate(params, images):
@@ -65,17 +67,22 @@ def main():
 
     generate = jax.jit(generate)
 
+    import numpy as np
+
     t0 = time.time()
-    out = jax.block_until_ready(generate(params, images))
+    out = np.asarray(generate(params, images))  # device_get = hard sync
     print(f"compile+first batch: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # timed runs
+    # timed runs; fetch results to host each iter — block_until_ready can be
+    # a no-op on experimental PJRT backends, device_get is an honest fence
     n_iters = 5
-    t0 = time.time()
+    per_iter = []
     for _ in range(n_iters):
-        out = generate(params, images)
-    jax.block_until_ready(out)
-    elapsed = time.time() - t0
+        t0 = time.time()
+        out = np.asarray(generate(params, images))
+        per_iter.append(time.time() - t0)
+    print(f"per-iter seconds: {[round(t, 4) for t in per_iter]}", file=sys.stderr)
+    elapsed = sum(per_iter)
     ips = batch * n_iters / elapsed
 
     print(
