@@ -1,0 +1,144 @@
+"""Pallas TPU kernel for multi-scale deformable attention.
+
+Replaces the CUDA ``ms_deformable_im2col`` kernel (reference:
+models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238-299) with a TPU-shaped
+formulation.  A GPU thread-per-output gather does not map onto the TPU's
+vector/matrix units, so instead of translating the CUDA loop the op is split
+at the natural boundary:
+
+1. index/weight preparation (vectorized VPU-friendly math, plain XLA):
+   pixel coords, bilinear corner indices, combined
+   ``bilinear x validity x attention`` weights — flattened to
+   ``idx/w [N*M, Lq, C]`` with C = L*P*4 corner slots;
+2. the Pallas kernel: grid = (N*M,), one program per (batch, head).  That
+   head's value slab [S, D] sits in VMEM (S ~= 5100, D = 64 for GRIT's
+   384x640 inputs -> ~1.3 MB), and each corner slot contracts a one-hot
+   selection matrix [Lq, S] (iota==index compare, built on the VPU) with
+   the slab on the MXU, accumulating ``w * value[idx]`` into [Lq, D].
+
+Redundant FLOPs buy perfect regularity — every "gather" is a dense matmul.
+For GRIT's sizes (Lq=150, L=4, P=4) the op is ~1% of a forward pass either
+way; the XLA fused-gather path (grit_tpu.ops.msda) stays the default and
+this kernel is selected with ``impl='pallas'``.
+
+Gradients: ``jax.custom_vjp`` whose backward differentiates the fused-XLA
+formulation — no hand-written col2im kernels (the CUDA ext needs five,
+cuh:302-921).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from grit_tpu.ops.msda import _bilinear_corners, _msda_fused_xla, level_start_index
+
+
+def _prepare_indices(spatial_shapes, sampling_locations, attention_weights):
+    """-> (flat_idx [N, Lq, M, C] int32, weights [N, Lq, M, C]) with C = L*P*4."""
+    n, lq, m, L, p, _ = sampling_locations.shape
+    hs = np.array([h for h, _ in spatial_shapes], np.float32)
+    ws = np.array([w for _, w in spatial_shapes], np.float32)
+    st = np.array(level_start_index(spatial_shapes), np.int32)
+
+    px = sampling_locations[..., 0] * ws[None, None, None, :, None] - 0.5
+    py = sampling_locations[..., 1] * hs[None, None, None, :, None] - 0.5
+    ix, iy, wgt, valid = _bilinear_corners(
+        px, py, hs[None, None, None, :, None, None], ws[None, None, None, :, None, None]
+    )  # [N, Lq, M, L, P, 4]
+    ixc = jnp.clip(ix, 0, (ws - 1).astype(np.int32)[None, None, None, :, None, None])
+    iyc = jnp.clip(iy, 0, (hs - 1).astype(np.int32)[None, None, None, :, None, None])
+    flat = (
+        st[None, None, None, :, None, None]
+        + iyc * ws.astype(np.int32)[None, None, None, :, None, None]
+        + ixc
+    )
+    w_total = jnp.where(valid, wgt, 0.0) * attention_weights[..., None]
+    c = L * p * 4
+    return flat.reshape(n, lq, m, c), w_total.reshape(n, lq, m, c)
+
+
+def _gather_matmul_kernel(idx_ref, w_ref, value_ref, out_ref):
+    """One (batch*head) program: out[q, d] = sum_c w[q, c] * value[idx[q, c], d]."""
+    lq, c = idx_ref.shape[1], idx_ref.shape[2]
+    s, d = value_ref.shape[1], value_ref.shape[2]
+    value = value_ref[0]
+    idx = idx_ref[0]   # [Lq, C]
+    wts = w_ref[0]     # [Lq, C]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, s), 1)
+
+    # statically unrolled over the C corner slots (C = L*P*4 = 64 for GRIT):
+    # Mosaic cannot dynamically slice the lane dimension, and static slices
+    # let it pipeline the 64 [Lq,S]x[S,D] MXU contractions back-to-back.
+    acc = jnp.zeros((lq, d), jnp.float32)
+    for ci in range(c):
+        sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)  # [Lq, 1]
+        ww = jax.lax.slice_in_dim(wts, ci, ci + 1, axis=1)   # [Lq, 1]
+        onehot = jnp.where(col_ids == sel, ww, 0.0).astype(value.dtype)
+        # HIGHEST precision: fp32-true accumulation (the one-hot contraction
+        # is a selection — default bf16 MXU passes would round the values)
+        acc = acc + jax.lax.dot_general(
+            onehot, value, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights):
+    n, s, m, d = value.shape
+    _, lq, _, L, p, _ = sampling_locations.shape
+    c = L * p * 4
+
+    flat, w_total = _prepare_indices(
+        spatial_shapes, sampling_locations, attention_weights
+    )
+    g = n * m
+    idx_g = flat.transpose(0, 2, 1, 3).reshape(g, lq, c)
+    w_g = w_total.transpose(0, 2, 1, 3).reshape(g, lq, c)
+    value_g = value.transpose(0, 2, 1, 3).reshape(g, s, d)
+
+    out = pl.pallas_call(
+        _gather_matmul_kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, lq, d), value.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * c * lq * s * d,
+            bytes_accessed=4 * (value.size + idx_g.size + w_g.size + g * lq * d),
+            transcendentals=0,
+        ),
+    )(idx_g, w_g, value_g)
+    return out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(n, lq, m * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights):
+    """Pallas forward; backward = autodiff of the fused-XLA formulation."""
+    return _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _bwd(spatial_shapes, residuals, g):
+    value, loc, attn = residuals
+    _, vjp = jax.vjp(
+        lambda v, l, a: _msda_fused_xla(v, spatial_shapes, l, a), value, loc, attn
+    )
+    return vjp(g)
+
+
+ms_deform_attn_pallas.defvjp(_fwd, _bwd)

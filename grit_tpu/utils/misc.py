@@ -1,0 +1,125 @@
+"""Observability helpers: smoothed metrics, iteration logging, profiling.
+
+Capability parity with the reference's logging utilities
+(engine/utils.py:26-238 — SmoothedValue window/global stats, MetricLogger
+``log_every`` with iter/data timing and device-memory prints) plus the TPU
+equivalents of its profiling hooks: ``jax.profiler`` trace annotation and
+device memory stats instead of ``torch.cuda.max_memory_allocated``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict, deque
+
+
+class SmoothedValue:
+    """Windowed + global average of a scalar series."""
+
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
+        self.deque: deque = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value, n: int = 1):
+        self.deque.append(float(value))
+        self.count += n
+        self.total += float(value) * n
+
+    @property
+    def median(self) -> float:
+        d = sorted(self.deque)
+        return d[len(d) // 2] if d else 0.0
+
+    @property
+    def avg(self) -> float:
+        return sum(self.deque) / len(self.deque) if self.deque else 0.0
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+    @property
+    def value(self) -> float:
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self):
+        return self.fmt.format(
+            median=self.median, avg=self.avg, global_avg=self.global_avg,
+            value=self.value,
+        )
+
+
+class MetricLogger:
+    def __init__(self, delimiter: str = "  "):
+        self.meters: dict[str, SmoothedValue] = defaultdict(SmoothedValue)
+        self.delimiter = delimiter
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, name):
+        if name in self.meters:
+            return self.meters[name]
+        raise AttributeError(name)
+
+    def __str__(self):
+        return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
+
+    def log_every(self, iterable, print_freq: int, header: str = ""):
+        """Yield items, printing timing + meters every ``print_freq`` iters."""
+        i = 0
+        start = time.time()
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        data_time = SmoothedValue(fmt="{avg:.4f}")
+        end = time.time()
+        total = len(iterable) if hasattr(iterable, "__len__") else None
+        for obj in iterable:
+            data_time.update(time.time() - end)
+            yield obj
+            iter_time.update(time.time() - end)
+            if i % print_freq == 0:
+                mem = device_memory_mb()
+                msg = (f"{header} [{i}{'/' + str(total) if total else ''}]  "
+                       f"{self}  time: {iter_time}  data: {data_time}")
+                if mem is not None:
+                    msg += f"  mem: {mem:.0f}MB"
+                print(msg)
+            i += 1
+            end = time.time()
+        print(f"{header} total: {time.time() - start:.1f}s")
+
+
+def device_memory_mb() -> float | None:
+    """Live HBM usage of device 0, if the backend exposes it."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        return stats["bytes_in_use"] / 1e6
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def trace_annotation(name: str):
+    """jax.profiler trace span (the torch.cuda.synchronize-timer equivalent)."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+def start_profiler_trace(logdir: str):
+    import jax
+
+    jax.profiler.start_trace(logdir)
+
+
+def stop_profiler_trace():
+    import jax
+
+    jax.profiler.stop_trace()

@@ -140,6 +140,51 @@ class TestMSDA:
             analytic = jnp.sum(g * direction)
             np.testing.assert_allclose(float(analytic), float(fd), rtol=2e-2, atol=1e-2)
 
+    def test_pallas_kernel_matches_reference_interpret(self, msda_inputs):
+        """Pallas kernel vs oracle in interpreter mode (compiled-TPU parity is
+        exercised on hardware; see grit_tpu/ops/msda_pallas.py)."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        value, shapes, loc, w = msda_inputs
+        ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            out = np.asarray(mp.ms_deform_attn_pallas(value, shapes, loc, w))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_kernel_grads(self, msda_inputs):
+        """custom_vjp backward (fused-XLA autodiff) matches direct autodiff."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        value, shapes, loc, w = msda_inputs
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            g_p = jax.grad(
+                lambda v: jnp.sum(mp.ms_deform_attn_pallas(v, shapes, loc, w) ** 2)
+            )(value)
+        g_x = jax.grad(
+            lambda v: jnp.sum(ms_deform_attn(v, shapes, loc, w) ** 2)
+        )(value)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
+
     def test_grit_sizes_smoke(self):
         # GRIT production sizes: L=4 levels of a 384x640 image, M=8, D=64, Lq=150
         shapes = ((48, 80), (24, 40), (12, 20), (6, 10))
