@@ -25,6 +25,10 @@ A100_BASELINE_IPS = 20.0
 
 def main():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the ~10 min compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from grit_tpu.config import default_caption_config

@@ -33,12 +33,22 @@ def ngram_counts(sentence: str, n_max: int = 4) -> Counter:
 
 
 class Cider:
-    def __init__(self, gts: dict | None = None, n: int = 4, sigma: float = 6.0):
+    def __init__(self, gts: dict | None = None, n: int = 4, sigma: float = 6.0,
+                 use_native: bool = True):
         self.n = n
         self.sigma = sigma
         self.doc_frequency: dict | None = None
         self.ref_len: float | None = None
-        if gts is not None:
+        self._native = None
+        if use_native and n == 4:
+            try:
+                from grit_tpu import native
+
+                if native.available():
+                    self._native = native.NativeCider(corpus_refs=gts, sigma=sigma)
+            except Exception:
+                self._native = None
+        if gts is not None and self._native is None:
             self.doc_frequency, self.ref_len = self._corpus_stats(gts)
 
     def _corpus_stats(self, gts: dict):
@@ -69,6 +79,8 @@ class Cider:
     def compute_score(self, gts: dict, res: dict):
         """gts: id -> list of refs; res: id -> [candidate]. -> (corpus, per-image)."""
         assert gts.keys() == res.keys()
+        if self._native is not None:
+            return self._native.compute_score(gts, res)
         if self.doc_frequency is not None:
             df, ref_len = self.doc_frequency, self.ref_len
         else:
