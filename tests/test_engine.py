@@ -1,0 +1,152 @@
+"""Engine tests: LR schedule parity, XE step, SCST step, optimizer split."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grit_tpu.engine.optim import (
+    apply_lr,
+    build_optimizer,
+    cosine_lr_schedule,
+    frozen_mask,
+    split_param_labels,
+)
+from grit_tpu.engine.xe import TrainState, make_eval_loss_step, make_xe_train_step, nll_loss
+
+REF = "/root/reference"
+
+
+class TestCosineSchedule:
+    def test_matches_reference_scheduler_tick_for_tick(self):
+        """Import the reference CosineLRScheduler and compare every tick."""
+        sys.path.insert(0, REF)
+        try:
+            from utils.cap_scheduler import CosineLRScheduler
+        finally:
+            sys.path.remove(REF)
+
+        class FakeOpt:
+            param_groups = [{"lr": 0.0}]
+
+        kw = dict(num_epochs=10, num_its_per_epoch=50, init_lr=1e-4,
+                  min_lr=1e-5, warmup_init_lr=1e-6)
+        ref = CosineLRScheduler(FakeOpt(), **kw)
+        ours = []
+        theirs = []
+        for step in range(1, 400):
+            theirs.append(ref.step())
+            ours.append(float(cosine_lr_schedule(step, **kw)))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+class TestNLL:
+    def test_ignores_pad(self):
+        logp = jnp.log(jnp.full((1, 4, 5), 0.2))
+        caps = jnp.asarray([[2, 3, 4, 1]])  # last is pad
+        loss, count = nll_loss(logp, caps, pad_idx=1)
+        # targets = [3, 4, 1] -> two non-pad tokens
+        assert int(count) == 2
+        np.testing.assert_allclose(float(loss), -np.log(0.2), rtol=1e-5)
+
+
+def tiny_model():
+    import flax.linen as nn
+
+    class Toy(nn.Module):
+        vocab: int = 12
+
+        @nn.compact
+        def __call__(self, samples, seq, *, deterministic=True):
+            # 'detector_proj' path exercises the backbone param-group split
+            feat = nn.Dense(8, name="detector_proj")(samples)
+            tok = nn.Embed(self.vocab, 8, name="tok")(seq)
+            h = tok + feat[:, None, :]
+            return nn.log_softmax(nn.Dense(self.vocab, name="head")(h))
+
+        def compute_vis(self, samples, *, deterministic=True):
+            return samples  # identity "visual features" for the SCST rescoring API
+
+    return Toy()
+
+
+class TestXEStep:
+    def test_loss_decreases_and_lr_schedule_applied(self):
+        model = tiny_model()
+        samples = jnp.ones((4, 6))
+        caps = jnp.asarray([[2, 5, 6, 3]] * 4)
+        params = model.init(jax.random.PRNGKey(0), samples, caps)
+        tx, labels = build_optimizer(params)
+        state = TrainState.create(params, tx)
+        sched = dict(num_epochs=2, num_its_per_epoch=10, init_lr=1e-2,
+                     min_lr=1e-3, warmup_init_lr=1e-3)
+        step = make_xe_train_step(
+            model, tx, labels, pad_idx=1, sched_cfg=sched, backbone_lr=1e-3,
+            donate=False,
+        )
+        state = state.epoch_tick()
+        batch = {"samples": samples, "captions": caps}
+        losses = []
+        for i in range(20):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.8
+        assert int(state.global_steps) == 21
+
+    def test_label_split(self):
+        model = tiny_model()
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 6)), jnp.ones((1, 3), jnp.int32)
+        )
+        labels = split_param_labels(params)
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        by_name = {"/".join(str(getattr(p, "key", "")) for p in path): v
+                   for path, v in flat}
+        assert all(v == "backbone" for k, v in by_name.items() if "detector" in k)
+        assert all(v == "model" for k, v in by_name.items() if "detector" not in k)
+
+    def test_freeze_mask_zeroes_updates(self):
+        model = tiny_model()
+        samples = jnp.ones((2, 6))
+        caps = jnp.asarray([[2, 5, 6, 3]] * 2)
+        params = model.init(jax.random.PRNGKey(0), samples, caps)
+        tx, labels = build_optimizer(params)
+        freeze = frozen_mask(params, lambda p: "detector" in p)
+        state = TrainState.create(params, tx)
+        sched = dict(num_epochs=2, num_its_per_epoch=10, init_lr=1e-2,
+                     min_lr=1e-3, warmup_init_lr=1e-3)
+        step = make_xe_train_step(
+            model, tx, labels, pad_idx=1, sched_cfg=sched, backbone_lr=1e-2,
+            freeze=freeze, donate=False,
+        )
+        before = np.asarray(params["params"]["detector_proj"]["kernel"])
+        state, _ = step(state, {"samples": samples, "captions": caps},
+                        jax.random.PRNGKey(0))
+        after = np.asarray(state.params["params"]["detector_proj"]["kernel"])
+        np.testing.assert_array_equal(before, after)
+        moved = np.asarray(state.params["params"]["head"]["kernel"])
+        assert np.abs(moved - np.asarray(params["params"]["head"]["kernel"])).sum() > 0
+
+
+class TestSCSTRescoring:
+    def test_sequence_log_probs_mask_after_eos(self):
+        from grit_tpu.engine.scst import sequence_log_probs
+
+        model = tiny_model()
+        samples = jnp.ones((2, 6))
+        seq0 = jnp.ones((2, 4), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), samples, seq0)
+        # sequences: [B=2, beam=1, T=4]; second sequence hits EOS(3) at t=1
+        seqs = jnp.asarray([[[5, 6, 7, 8]], [[5, 3, 0, 0]]], jnp.int32)
+        logp = sequence_log_probs(
+            model, params, samples, seqs, bos_idx=2, eos_idx=3
+        )
+        arr = np.asarray(logp)
+        assert arr.shape == (2, 1, 4)
+        # sequence 2: positions after the EOS (t=2,3) contribute exactly 0
+        assert arr[1, 0, 2] == 0.0 and arr[1, 0, 3] == 0.0
+        # EOS step itself is included
+        assert arr[1, 0, 1] != 0.0
