@@ -125,8 +125,23 @@ def main(argv=None):
     rng = jax.random.PRNGKey(config.exp.seed)
     best_cider_val = best_cider_test = 0.0
     sc_started = False
+    start_epoch = 0
+    if config.exp.resume:
+        # full resume from 'last' (params + optimizer + scheduler tick + epoch)
+        # — the reference's caption resume is unimplemented (train_caption.py:44);
+        # here it works.
+        try:
+            restored = ckpt.restore_checkpoint(workdir, "last")
+            state = TrainState(
+                restored["params"], restored["opt_state"],
+                jnp.asarray(restored["global_steps"]),
+            )
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"resumed from epoch {start_epoch - 1}")
+        except Exception as e:
+            print(f"resume skipped: {e}")
     with mesh:
-        for epoch in range(total_epochs(config)):
+        for epoch in range(start_epoch, total_epochs(config)):
             phase = phase_for_epoch(epoch, config)
             print(f"Train: epoch={epoch}, phase={phase}")
             if phase.endswith("xe"):
