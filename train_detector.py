@@ -18,7 +18,7 @@ import numpy as np
 
 
 def main(argv=None):
-    from grit_tpu.config import default_detection_config
+    from grit_tpu.config import Config, default_detection_config
     from grit_tpu.detection.datasets import build_train_dataset, pad_targets
     from grit_tpu.detection.det_transforms import make_transforms
     from grit_tpu.detection.detector import build_detection_model
@@ -106,10 +106,60 @@ def main(argv=None):
     ]
     loader = LoaderShim()
     trainer = Trainer(step_fn, state, loader, rng=jax.random.PRNGKey(0), hooks=hooks, mesh=mesh)
+
+    # validation: COCO-format val sets -> postprocess -> mAP evaluator
+    validers = []
+    from grit_tpu.detection.coco_eval import CocoEvaluator
+    from grit_tpu.detection.datasets import DetectionDataset
+    from grit_tpu.detection.solver import Valider
+
+    for name, spec in config.dataset.get("valid_roots", Config({})).items():
+        vds = DetectionDataset(spec["ann_file"], spec.get("img_root", ""))
+        vtransform = make_transforms("valid", max_size=config.dataset.max_size)
+
+        def val_batches(vds=vds, vtransform=vtransform):
+            vb = max(1, config.optimizer.batch_size)
+            for s in range(0, len(vds), vb):
+                imgs, metas = [], []
+                for i in range(s, min(s + vb, len(vds))):
+                    img, tgt = vds[i]
+                    arr, _ = vtransform(img, dict(tgt))
+                    imgs.append(arr)
+                    metas.append(tgt)
+                yield {
+                    "samples": batch_images(imgs, pad_multiple=64),
+                    "orig_sizes": jnp.asarray([m["orig_size"] for m in metas]),
+                    "image_id": [m["image_id"] for m in metas],
+                }
+
+        class VLoader:
+            def __iter__(self):
+                return val_batches()
+
+        gt = {
+            int(vds.ids[i]): {
+                "boxes": np.asarray([
+                    [a["bbox"][0], a["bbox"][1],
+                     a["bbox"][0] + a["bbox"][2], a["bbox"][1] + a["bbox"][3]]
+                    for a in vds.anns_by_image[vds.ids[i]]
+                ]),
+                "labels": np.asarray([
+                    a["category_id"] for a in vds.anns_by_image[vds.ids[i]]
+                ]),
+            }
+            for i in range(len(vds))
+        }
+        validers.append(Valider(
+            model, lambda: trainer.state, VLoader(),
+            evaluator_factory=lambda gt=gt: CocoEvaluator(gt),
+        ))
+
     with mesh:
         for epoch in range(config.optimizer.epochs):
             loader.epoch = epoch
             trainer.state = trainer.run_epoch(epoch)
+            for valider in validers:
+                trainer.epoch_results = valider.run_epoch(epoch)
 
 
 if __name__ == "__main__":
