@@ -117,7 +117,7 @@ class SwinBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, hw: tuple[int, int], *, deterministic=True):
+    def __call__(self, x, hw: tuple[int, int], deterministic: bool = True):
         h, w = hw
         b, L, c = x.shape
         shortcut = x
@@ -192,13 +192,20 @@ class BasicLayer(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rates: Sequence[float] = ()
+    use_checkpoint: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, hw: tuple[int, int], *, deterministic=True):
         h, w = hw
+        block_cls = SwinBlock
+        if self.use_checkpoint:
+            # activation rematerialization (the reference's use_checkpoint,
+            # swin_model.py:445-448): trade recompute for HBM during training.
+            # hw and deterministic are static (indices count self as 0).
+            block_cls = nn.remat(SwinBlock, static_argnums=(2, 3))
         for i in range(self.depth):
-            x = SwinBlock(
+            x = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 window=self.window,
@@ -208,7 +215,7 @@ class BasicLayer(nn.Module):
                 drop_path_rate=self.drop_path_rates[i] if self.drop_path_rates else 0.0,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, hw, deterministic=deterministic)
+            )(x, hw, deterministic)
         x_down = PatchMerging(self.dim, self.out_dim, dtype=self.dtype, name="downsample")(x, hw)
         return x, x_down, ((h + 1) // 2, (w + 1) // 2)
 
@@ -225,6 +232,7 @@ class SwinTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.3
     pos_dim: int = 1024
+    use_checkpoint: bool = False
     dtype: Any = None
 
     @property
@@ -264,6 +272,7 @@ class SwinTransformer(nn.Module):
                 drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
                 drop_path_rates=dpr[start:start + self.depths[stage]],
+                use_checkpoint=self.use_checkpoint,
                 dtype=self.dtype,
                 name=f"layers_{stage}",
             )(x, hw, deterministic=deterministic)
