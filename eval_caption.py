@@ -31,8 +31,11 @@ def load_any_checkpoint(path, model, config):
         )
         print(f"load: missing={miss}, unexpected={unexp}")
         return {"params": merged}
-    restored = ckpt.restore_checkpoint(os.path.dirname(os.path.dirname(path)),
-                                       os.path.basename(path))
+    # an Orbax checkpoint directory (as written by the trainer)
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
     return restored["params"]
 
 

@@ -236,6 +236,11 @@ class CocoLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def _pool(self) -> ThreadPoolExecutor:
+        if getattr(self, "_pool_obj", None) is None:
+            self._pool_obj = ThreadPoolExecutor(self.num_workers)
+        return self._pool_obj
+
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
@@ -277,8 +282,7 @@ class CocoLoader:
                 k: np.stack([f[k] for f in feats]) for k in feats[0]
             }
         else:
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                imgs = list(pool.map(self._load_image, paths))
+            imgs = list(self._pool().map(self._load_image, paths))
             batch["samples"] = batch_images(imgs, bucket_hw=self.bucket_hw)
         batch["image_id"] = image_ids
         return batch

@@ -134,6 +134,48 @@ def _msda_fused_xla(value, spatial_shapes, sampling_locations, attention_weights
     return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d)
 
 
+@partial(jax.jit, static_argnames=("spatial_shapes",))
+def _msda_flat_gather(value, spatial_shapes, sampling_locations, attention_weights):
+    """Single flat one-axis gather variant.
+
+    Identical math to ``_msda_fused_xla`` but the (batch, head) dims are
+    folded into a single global row index so XLA sees ONE rank-1 gather over
+    a [N*M*S, D] table — a pattern the TPU backend lowers to its vectorized
+    gather path, where the batched-gather form can serialize.
+    """
+    n, s, m, d = value.shape
+    _, lq, _, nlvl, npts, _ = sampling_locations.shape
+
+    hs = np.array([h for h, _ in spatial_shapes], np.float32)
+    ws = np.array([w for _, w in spatial_shapes], np.float32)
+    st = np.array(level_start_index(spatial_shapes), np.int32)
+
+    px = sampling_locations[..., 0] * ws[None, None, None, :, None] - 0.5
+    py = sampling_locations[..., 1] * hs[None, None, None, :, None] - 0.5
+    ix, iy, wgt, valid = _bilinear_corners(
+        px, py, hs[None, None, None, :, None, None], ws[None, None, None, :, None, None]
+    )  # [N, Lq, M, L, P, 4]
+    ixc = jnp.clip(ix, 0, (ws - 1).astype(np.int32)[None, None, None, :, None, None])
+    iyc = jnp.clip(iy, 0, (hs - 1).astype(np.int32)[None, None, None, :, None, None])
+    flat = st[None, None, None, :, None, None] + iyc * ws.astype(np.int32)[
+        None, None, None, :, None, None
+    ] + ixc  # [N, Lq, M, L, P, 4] in [0, S)
+    w_total = jnp.where(valid, wgt, 0.0) * attention_weights[..., None]
+
+    k = lq * nlvl * npts * 4
+    # global row index: (n * M + m) * S + s
+    nm_base = (
+        jnp.arange(n, dtype=jnp.int32)[:, None] * m
+        + jnp.arange(m, dtype=jnp.int32)[None, :]
+    ) * s  # [N, M]
+    idx = flat.transpose(0, 2, 1, 3, 4, 5).reshape(n, m, k) + nm_base[..., None]
+    table = value.transpose(0, 2, 1, 3).reshape(n * m * s, d)
+    gathered = jnp.take(table, idx.reshape(-1), axis=0)  # [N*M*K, D]
+    w = w_total.transpose(0, 2, 1, 3, 4, 5).reshape(n * m * k)
+    out = (gathered * w[:, None]).reshape(n, m, lq, nlvl * npts * 4, d).sum(3)
+    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d)
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[tuple[int, int]],
@@ -151,6 +193,10 @@ def ms_deform_attn(
         from grit_tpu.ops.msda_pallas import ms_deform_attn_pallas
 
         return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if impl == "flat":
+        return _msda_flat_gather(
             value, spatial_shapes, sampling_locations, attention_weights
         )
     return _msda_fused_xla(value, spatial_shapes, sampling_locations, attention_weights)

@@ -122,6 +122,9 @@ def main(argv=None):
         freeze=freeze,
     )
 
+    from grit_tpu.engine.logger import ScalarWriter
+
+    writer = ScalarWriter(os.path.join(workdir, "tensorboard"))
     rng = jax.random.PRNGKey(config.exp.seed)
     best_cider_val = best_cider_test = 0.0
     sc_started = False
@@ -147,7 +150,7 @@ def main(argv=None):
             if phase.endswith("xe"):
                 state, train_res, rng = train_xe_epoch(
                     xe_step, eval_loss_step, state, dataloaders,
-                    epoch=epoch, rng=rng, mesh=mesh,
+                    epoch=epoch, rng=rng, mesh=mesh, writer=writer,
                 )
             else:
                 if not sc_started:
