@@ -55,14 +55,11 @@ def evaluate_metrics(
     gen, gts = {}, {}
     results = []
     times = []
-    for it, batch in enumerate(iter(dataloader)):
-        bs = len(batch["image_id"])
-        start = time.time()
-        out = generate_fn(params, batch["samples"], bs)
-        out = jax.block_until_ready(out)
-        times.append(time.time() - start)
 
-        caps_gen = text_field.decode(np.asarray(out), join_words=False)
+    def consume(it, batch, out_dev, t_dispatch):
+        out = np.asarray(out_dev)  # hard device sync
+        times.append(time.time() - t_dispatch)
+        caps_gen = text_field.decode(out, join_words=False)
         for i, gen_i in enumerate(caps_gen):
             # collapse repeated words (caption_engine.py:196)
             gen_str = " ".join(k for k, _ in itertools.groupby(gen_i))
@@ -73,9 +70,22 @@ def evaluate_metrics(
             results.append({"image_id": batch["image_id"][i], "caption": gen_str})
         if verbose and it % 100 == 0:
             print(
-                f"Number of iterations: {it + 1}, batch_size={bs}, "
+                f"Number of iterations: {it + 1}, batch_size={len(batch['image_id'])}, "
                 f"Total time per 1 batch: {sum(times) / len(times):0.5f}s"
             )
+
+    # pipeline: dispatch batch i+1 before decoding batch i's result, so host
+    # decode/bookkeeping overlaps device beam search
+    pending = None
+    for it, batch in enumerate(iter(dataloader)):
+        bs = len(batch["image_id"])
+        t_dispatch = time.time()
+        out_dev = generate_fn(params, batch["samples"], bs)
+        if pending is not None:
+            consume(*pending)
+        pending = (it, batch, out_dev, t_dispatch)
+    if pending is not None:
+        consume(*pending)
 
     avg_time = sum(times) / max(len(times), 1)
     if verbose:
