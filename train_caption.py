@@ -43,12 +43,16 @@ def main(argv=None):
     from grit_tpu.parallel.mesh import make_mesh, replicate
     from grit_tpu.utils.nested import ImageBatch
 
+    from grit_tpu.parallel.distributed import maybe_initialize
+
     config = default_caption_config().apply_overrides(argv or sys.argv[1:])
     workdir = os.path.join("outputs", config.exp.name)
     os.makedirs(workdir, exist_ok=True)
 
+    proc_idx, proc_count = maybe_initialize()
     mesh = make_mesh()
-    print(f"devices: {jax.device_count()}, mesh: {dict(mesh.shape)}")
+    print(f"process {proc_idx}/{proc_count}, devices: {jax.device_count()}, "
+          f"mesh: {dict(mesh.shape)}")
 
     dtype = jnp.bfloat16 if config.model.get("compute_dtype") == "bfloat16" else None
     model = build_captioner(config, dtype=dtype)
