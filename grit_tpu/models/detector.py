@@ -84,7 +84,7 @@ def build_detector(config, dtype=None) -> Detector:
             num_classes=det_cfg.num_classes,
             num_queries=det_cfg.num_queries,
             with_box_refine=det_cfg.with_box_refine,
-            msda_impl=config.model.get("msda_impl", "xla"),
+            msda_impl=config.model.get("msda_impl", "flat"),
             dtype=dtype,
             name="det_module",
         )

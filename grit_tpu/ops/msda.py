@@ -176,6 +176,79 @@ def _msda_flat_gather(value, spatial_shapes, sampling_locations, attention_weigh
     return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d)
 
 
+@partial(jax.jit, static_argnames=("spatial_shapes",))
+def _msda_window_gather(value, spatial_shapes, sampling_locations, attention_weights):
+    """Paired-column window gather.
+
+    The two x-corners of a bilinear sample are ADJACENT columns, i.e.
+    contiguous rows of the flattened [H*W, D] level map.  Gathering a
+    (2, D) window per (y-corner, point) instead of 4 separate D-rows halves
+    the gather count and doubles the contiguous transfer size — friendlier
+    to the TPU gather unit.  Border handling: the fetched window start is
+    ``clip(x0, 0, W-2)``; per fetched column the weight is re-derived by
+    comparing against the true corner index (out-of-range corners get 0).
+    """
+    n, s, m, d = value.shape
+    _, lq, _, nlvl, npts, _ = sampling_locations.shape
+
+    hs = np.array([h for h, _ in spatial_shapes], np.float32)
+    ws = np.array([w for _, w in spatial_shapes], np.float32)
+    st = np.array(level_start_index(spatial_shapes), np.int32)
+    lvl = lambda a: a[None, None, None, :, None]  # broadcast level constants
+
+    px = sampling_locations[..., 0] * lvl(ws) - 0.5
+    py = sampling_locations[..., 1] * lvl(hs) - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    lx = px - x0
+    ly = py - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    wi = ws.astype(np.int32)
+    hi = hs.astype(np.int32)
+    xs = jnp.clip(x0i, 0, lvl(wi - 2))  # fetched window start column
+    # per fetched column c in {xs, xs+1}: weight = (1-lx) if c==x0 else lx if c==x0+1
+    def col_weight(c):
+        w_left = jnp.where((c == x0i) & (x0i >= 0), 1 - lx, 0.0)
+        w_right = jnp.where((c == x0i + 1) & (x0i + 1 <= lvl(wi) - 1), lx, 0.0)
+        return w_left + w_right
+
+    wx = jnp.stack([col_weight(xs), col_weight(xs + 1)], -1)  # [..., 2]
+
+    out = jnp.zeros((n, m, lq, d), jnp.float32)
+    k = lq * nlvl * npts
+    nm_base = (
+        jnp.arange(n, dtype=jnp.int32)[:, None] * m
+        + jnp.arange(m, dtype=jnp.int32)[None, :]
+    ) * s  # [N, M]
+
+    table = value.transpose(0, 2, 1, 3).reshape(n * m * s, d)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,),
+        operand_batching_dims=(), start_indices_batching_dims=(),
+    )
+
+    for row, wy in ((y0i, 1 - ly), (y0i + 1, ly)):
+        y_valid = (row >= 0) & (row < lvl(hi))
+        rowc = jnp.clip(row, 0, lvl(hi - 1))
+        flat = lvl(st) + rowc * lvl(wi) + xs  # [N, Lq, M, L, P]
+        idx = flat.transpose(0, 2, 1, 3, 4).reshape(n, m, k) + nm_base[..., None]
+        windows = jax.lax.gather(
+            table, idx.reshape(-1, 1), dnums, slice_sizes=(2, d),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # [N*M*K, 2, D]
+        w_cols = (
+            (wx * (wy * y_valid.astype(wx.dtype) * attention_weights)[..., None])
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(n * m * k, 2)
+        )
+        contrib = (windows * w_cols[..., None].astype(windows.dtype)).sum(1)
+        out = out + contrib.reshape(n, m, lq, nlvl * npts, d).sum(3)
+
+    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d)
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[tuple[int, int]],
@@ -197,6 +270,10 @@ def ms_deform_attn(
         )
     if impl == "flat":
         return _msda_flat_gather(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if impl == "window":
+        return _msda_window_gather(
             value, spatial_shapes, sampling_locations, attention_weights
         )
     return _msda_fused_xla(value, spatial_shapes, sampling_locations, attention_weights)

@@ -110,10 +110,11 @@ class TestMSDA:
         oracle = _torch_msda_oracle(value, shapes, loc, w)
         np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
 
-    def test_fused_matches_reference(self, msda_inputs):
+    @pytest.mark.parametrize("impl", ["xla", "flat", "window"])
+    def test_fused_matches_reference(self, msda_inputs, impl):
         value, shapes, loc, w = msda_inputs
         ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
-        fused = np.asarray(ms_deform_attn(value, shapes, loc, w, impl="xla"))
+        fused = np.asarray(ms_deform_attn(value, shapes, loc, w, impl=impl))
         np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-5)
 
     def test_grads_match_finite_differences(self, msda_inputs):
