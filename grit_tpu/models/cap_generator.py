@@ -68,6 +68,11 @@ class ParallelAttentionLayer(nn.Module):
 
     def _fuse(self, self_att, enc1, enc2, mask_pad, *, deterministic):
         alpha_fc2 = self.fc_alpha1 if self.replicate_alpha_bug else self.fc_alpha2
+        if self.replicate_alpha_bug:
+            # touch fc_alpha2 so its (unused) parameters exist — the reference
+            # checkpoint carries them (cap_generator.py:29,48-49); XLA DCEs
+            # this dead call.
+            self.fc_alpha2(jnp.zeros((1, 1, 2 * self.d_model), self_att.dtype))
         alpha1 = nn.sigmoid(self.fc_alpha1(jnp.concatenate([self_att, enc1], -1)))
         alpha2 = nn.sigmoid(alpha_fc2(jnp.concatenate([self_att, enc2], -1)))
         enc = (enc1 * alpha1 + enc2 * alpha2) / np.sqrt(2)

@@ -300,6 +300,12 @@ class DetectionModule(nn.Module):
         mask_flat = jnp.concatenate([m.reshape(b, -1) for m in masks], axis=1)
         valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)  # [B, L, 2]
 
+        # touch the classification heads so their parameters exist even on the
+        # caption-flavor path that never runs detection_head — the reference
+        # checkpoints carry them (det_module.py:96,110); XLA DCEs these calls.
+        for head in self.class_embed:
+            head(jnp.zeros((1, 1, self.d_model)))
+
         query_pos, query_tgt = jnp.split(self.query_embed, 2, axis=1)
         query_pos = jnp.broadcast_to(query_pos[None], (b, self.num_queries, self.d_model))
         query_tgt = jnp.broadcast_to(query_tgt[None], (b, self.num_queries, self.d_model))

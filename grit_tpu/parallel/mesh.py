@@ -65,8 +65,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree: Any, mesh: Mesh) -> Any:
-    """Device-put a host batch with its leading axis split over ``data``."""
+    """Device-put a host batch with its leading axis split over ``data``.
+
+    Single-host: a plain sharded device_put.  Multi-host: each process holds
+    its rank's slice of the global batch (the loader shards by rank/world
+    like DistributedSampler) and the slices assemble into one global array
+    via ``make_array_from_process_local_data``.
+    """
     sharding = batch_sharding(mesh)
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils  # noqa: F401
+
+        def put(x):
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+        return jax.tree.map(put, tree)
 
     def put(x):
         return jax.device_put(x, sharding)

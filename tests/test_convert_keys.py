@@ -1,0 +1,103 @@
+"""Converter key-space coverage: every expected reference checkpoint key maps
+onto an existing parameter of the full-size model (shape checks included for
+representative leaves).  Complements the numerical-parity tests — this one
+pins the NAME mapping across the whole detector subtree, which can't be
+instantiated in torch here (the reference's MSDeformAttn import requires its
+compiled CUDA extension).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grit_tpu.convert import translate
+
+
+@pytest.fixture(scope="module")
+def full_params():
+    from grit_tpu.config import default_caption_config
+    from grit_tpu.models.captioner import build_captioner
+    from grit_tpu.utils.nested import ImageBatch
+
+    config = default_caption_config()
+    model = build_captioner(config)
+    imgs = ImageBatch(jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 128, 128), bool))
+    seq = jnp.full((1, 4), 2, jnp.int32)
+    with jax.default_device(jax.devices("cpu")[0] if jax.devices("cpu") else None):
+        params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), imgs, seq))
+    return params["params"]
+
+
+def lookup(tree, path):
+    node = tree
+    for tok in path:
+        assert tok in node, f"missing {'/'.join(path)} at {tok}"
+        node = node[tok]
+    return node
+
+
+# representative reference checkpoint keys with their torch shapes
+REFERENCE_KEYS = [
+    # caption side
+    ("grid_net.fc.weight", (512, 1024)),
+    ("grid_net.layers.2.mhatt.attention.fc_q.weight", (512, 512)),
+    ("grid_net.layers.0.pwff.layer_norm.weight", (512,)),
+    ("cap_generator.word_emb.weight", (10201, 512)),
+    ("cap_generator.layers.1.self_att.attention.fc_o.weight", (512, 512)),
+    ("cap_generator.layers.0.vis_att2.layer_norm.bias", (512,)),
+    ("cap_generator.layers.0.fc_alpha1.weight", (512, 1024)),
+    ("cap_generator.layers.0.fc_alpha2.bias", (512,)),
+    ("cap_generator.fc.weight", (10201, 512)),
+    # swin backbone
+    ("detector.backbone.patch_embed.proj.weight", (128, 3, 4, 4)),
+    ("detector.backbone.patch_embed.norm.weight", (128,)),
+    ("detector.backbone.layers.2.blocks.17.attn.qkv.weight", (1536, 512)),
+    ("detector.backbone.layers.2.blocks.17.attn.relative_position_bias_table", (529, 16)),
+    ("detector.backbone.layers.0.blocks.1.mlp.fc1.weight", (512, 128)),
+    ("detector.backbone.layers.3.downsample.reduction.weight", (1024, 4096)),
+    ("detector.backbone.layers.3.downsample.norm.bias", (4096,)),
+    # input projections
+    ("detector.input_proj.0.0.weight", (512, 256, 1, 1)),
+    ("detector.input_proj.3.1.weight", (512,)),
+    # deformable decoder
+    ("detector.det_module.query_embed.weight", (150, 1024)),
+    ("detector.det_module.level_embed", (4, 512)),
+    ("detector.det_module.reference_points.weight", (2, 512)),
+    ("detector.det_module.decoder_layers.5.cross_attn.sampling_offsets.weight", (256, 512)),
+    ("detector.det_module.decoder_layers.5.cross_attn.sampling_offsets.bias", (256,)),
+    ("detector.det_module.decoder_layers.0.cross_attn.value_proj.weight", (512, 512)),
+    ("detector.det_module.decoder_layers.3.self_attn.in_proj_weight", (1536, 512)),
+    ("detector.det_module.decoder_layers.3.self_attn.out_proj.weight", (512, 512)),
+    ("detector.det_module.decoder_layers.2.linear1.weight", (1024, 512)),
+    ("detector.det_module.decoder_layers.2.norm3.weight", (512,)),
+    ("detector.det_module.class_embed.6.weight", (1849, 512)),
+    ("detector.det_module.class_embed.0.bias", (1849,)),
+    ("detector.det_module.bbox_embed.4.layers.2.weight", (4, 512)),
+]
+
+# keys the converter must SKIP (recomputed/dead in our model)
+SKIPPED_KEYS = [
+    "cap_generator.pos_emb.weight",
+    "detector.backbone.layers.0.blocks.0.attn.relative_position_index",
+    "detector.backbone.layers.1.downsample.expansion.weight",
+    "detector.backbone.layers.1.downsample.norm2.weight",
+    "detector.backbone.norm1.weight",
+    "cap_generator.layers.0.self_att.running_keys",
+]
+
+
+class TestConverterKeySpace:
+    def test_all_keys_map_to_existing_params(self, full_params):
+        for key, shape in REFERENCE_KEYS:
+            out = translate(key, np.zeros(shape, np.float32))
+            assert out is not None, f"{key} unexpectedly skipped"
+            path, value = out
+            leaf = lookup(full_params, path)
+            assert tuple(leaf.shape) == tuple(np.shape(value)), (
+                f"{key}: model {tuple(leaf.shape)} vs converted {np.shape(value)}"
+            )
+
+    def test_dead_keys_are_skipped(self):
+        for key in SKIPPED_KEYS:
+            assert translate(key, np.zeros((4,))) is None, f"{key} not skipped"

@@ -94,7 +94,9 @@ def main(argv=None):
         and not config.optimizer.get("freeze_backbone")
         else "finetune"
     )
-    dataloaders, samplers = build_coco_dataloaders(config, mode=mode)
+    dataloaders, samplers = build_coco_dataloaders(
+        config, mode=mode, rank=proc_idx, world=proc_count
+    )
 
     train_refs = [ex.text for ex in dataloaders["train"].dataset.examples]
     cider = Cider(PTBTokenizer.tokenize(train_refs))
