@@ -136,7 +136,7 @@ class MultiHeadAttention(nn.Module):
             dtype=self.dtype, name="attention",
         )
         self.drop = nn.Dropout(self.dropout)
-        self.layer_norm = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")
+        self.layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")
 
     def __call__(
         self,
@@ -193,4 +193,4 @@ class FeedForward(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = dense(self.d_model, "fc2", dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(x + h)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")(x + h)

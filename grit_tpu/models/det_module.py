@@ -198,21 +198,21 @@ class DeformableDecoderLayer(nn.Module):
                            dtype=self.dtype, name="self_attn")(
             q, q, tgt, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        tgt = nn.LayerNorm(epsilon=LN_EPS, name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(tgt)
 
         ca = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             impl=self.msda_impl, dtype=self.dtype, name="cross_attn",
         )(tgt + query_pos, ref, src, spatial_shapes, padding_mask)
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(tgt)
 
         h = nn.Dense(self.d_ffn, name="linear1", dtype=self.dtype, kernel_init=xavier)(tgt)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, name="linear2", dtype=self.dtype, kernel_init=xavier)(h)
         tgt = tgt + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="norm3")(tgt)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm3")(tgt)
 
 
 def get_valid_ratio(mask: jnp.ndarray) -> jnp.ndarray:

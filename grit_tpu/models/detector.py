@@ -58,7 +58,8 @@ class Detector(nn.Module):
                     dtype=self.dtype,
                 )(feat)
                 x = nn.GroupNorm(
-                    num_groups=32, epsilon=1e-5, name=f"input_proj_{lvl}_norm"
+                    num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                    name=f"input_proj_{lvl}_norm",
                 )(x)
                 srcs.append(x)
             hs, _, _ = self.det_module(srcs, masks, deterministic=deterministic)

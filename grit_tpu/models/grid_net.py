@@ -49,7 +49,7 @@ class GridFeatureNetwork(nn.Module):
     def setup(self):
         self.fc = dense(self.d_model, "fc", dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
-        self.layer_norm = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")
+        self.layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")
         self.layers = [
             TransformerLayer(
                 self.d_model, self.n_heads, self.d_ff, self.dropout,

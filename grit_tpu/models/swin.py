@@ -121,7 +121,7 @@ class SwinBlock(nn.Module):
         h, w = hw
         b, L, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(epsilon=LN_EPS, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
 
         pad_b = (self.window - h % self.window) % self.window
@@ -154,7 +154,7 @@ class SwinBlock(nn.Module):
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
         mlp_out = Mlp(
             int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp"
-        )(nn.LayerNorm(epsilon=LN_EPS, name="norm2")(x), deterministic=deterministic)
+        )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), deterministic=deterministic)
         rng2 = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         return x + drop_path(mlp_out, self.drop_path_rate, deterministic, rng2)
 
@@ -179,7 +179,7 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = x.reshape(b, -1, 4 * c)
-        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction", dtype=self.dtype)(x)
 
 
@@ -251,7 +251,7 @@ class SwinTransformer(nn.Module):
         )(images)
         wh, ww = x.shape[1], x.shape[2]
         x = x.reshape(b, wh * ww, self.embed_dim)
-        x = nn.LayerNorm(epsilon=LN_EPS, name="patch_embed_norm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="patch_embed_norm")(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
 
         total = sum(self.depths)
