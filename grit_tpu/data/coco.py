@@ -124,7 +124,9 @@ class PairedDataset:
         self.overfit = overfit
 
     def __len__(self):
-        return OVERFIT_SIZE if self.overfit else len(self.examples)
+        if self.overfit:
+            return min(OVERFIT_SIZE, len(self.examples))
+        return len(self.examples)
 
     def __getitem__(self, idx: int) -> CocoExample:
         return self.examples[idx]
@@ -141,7 +143,9 @@ class DictionaryDataset:
         self.overfit = overfit
 
     def __len__(self):
-        return OVERFIT_SIZE if self.overfit else len(self.paths)
+        if self.overfit:
+            return min(OVERFIT_SIZE, len(self.paths))
+        return len(self.paths)
 
     def __getitem__(self, idx: int):
         exs = self.by_image[self.paths[idx]]

@@ -62,7 +62,9 @@ class DetectionDataset:
         self.overfit = overfit
 
     def __len__(self):
-        return OVERFIT_SIZE if self.overfit else len(self.ids)
+        if self.overfit:
+            return min(OVERFIT_SIZE, len(self.ids))
+        return len(self.ids)
 
     def _open_image(self, info: dict):
         from io import BytesIO

@@ -91,7 +91,11 @@ def build_detection_model(config, dtype=None):
     from grit_tpu.detection.losses import SetCriterion
 
     det_cfg = config.model.detector
-    backbone = swin_base_win12_384(dtype=dtype)
+    from grit_tpu.models.swin import build_swin
+
+    backbone = build_swin(
+        config.model.get("backbone", "swin_base_win7_384_22k"), dtype=dtype
+    )
     det_module = DetectionModule(
         d_model=det_cfg.d_model,
         n_heads=det_cfg.num_heads,

@@ -70,7 +70,13 @@ class Detector(nn.Module):
 
 def build_detector(config, dtype=None) -> Detector:
     """Assemble backbone + det module from a caption config (detector.py:65-84)."""
-    backbone = swin_base_win12_384(dtype=dtype)
+    from grit_tpu.models.swin import build_swin
+
+    backbone = build_swin(
+        config.model.get("backbone", "swin_base_win7_384_22k"),
+        dtype=dtype,
+        use_checkpoint=bool(config.model.get("use_checkpoint", False)),
+    )
     det_cfg = config.model.detector
     det_module = None
     if config.model.use_reg_feat:

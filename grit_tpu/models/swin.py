@@ -283,7 +283,7 @@ class SwinTransformer(nn.Module):
         return outs
 
 
-def swin_base_win12_384(dtype=None, drop_path_rate: float = 0.3) -> SwinTransformer:
+def swin_base_win12_384(dtype=None, drop_path_rate: float = 0.3, **kw) -> SwinTransformer:
     """The backbone GRIT ships (misnamed win7 upstream — it is window 12;
     reference swin_base_win7_384, swin_model.py:690-699)."""
     return SwinTransformer(
@@ -294,4 +294,42 @@ def swin_base_win12_384(dtype=None, drop_path_rate: float = 0.3) -> SwinTransfor
         drop_path_rate=drop_path_rate,
         pos_dim=1024,
         dtype=dtype,
+        **kw,
     )
+
+
+# backbone registry mirroring the reference's size menu
+# (models/detection/detector.py:105-123 — nano/tiny/small/base/large)
+BACKBONES = {
+    "swin_base_win7_384_22k": dict(
+        embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+        window=12, drop_path_rate=0.3, pos_dim=1024,
+    ),
+    "swin_large_win7_384_22k": dict(
+        embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
+        window=12, drop_path_rate=0.3, pos_dim=1536,
+    ),
+    "swin_small": dict(
+        embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24),
+        window=7, drop_path_rate=0.3, pos_dim=768,
+    ),
+    "swin_tiny": dict(
+        embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+        window=7, drop_path_rate=0.2, pos_dim=768,
+    ),
+    "swin_nano": dict(
+        embed_dim=64, depths=(2, 2, 6, 2), num_heads=(2, 4, 8, 16),
+        window=7, drop_path_rate=0.2, pos_dim=512,
+    ),
+    # tiny-dims instance for fast CPU end-to-end drives and tests
+    "swin_test": dict(
+        embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+        window=4, drop_path_rate=0.0, pos_dim=64,
+    ),
+}
+
+
+def build_swin(name: str = "swin_base_win7_384_22k", dtype=None, **overrides):
+    spec = dict(BACKBONES[name])
+    spec.update(overrides)
+    return SwinTransformer(dtype=dtype, **spec)

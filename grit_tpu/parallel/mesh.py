@@ -82,8 +82,15 @@ def shard_batch(tree: Any, mesh: Mesh) -> Any:
 
         return jax.tree.map(put, tree)
 
+    n_data = mesh.shape.get("data", 1)
+    repl = NamedSharding(mesh, P())
+
     def put(x):
-        return jax.device_put(x, sharding)
+        # batches not divisible by the data axis (e.g. a short final batch)
+        # fall back to replication rather than crashing
+        if hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n_data == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, repl)
 
     return jax.tree.map(put, tree)
 

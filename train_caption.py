@@ -94,6 +94,11 @@ def main(argv=None):
         and not config.optimizer.get("freeze_backbone")
         else "finetune"
     )
+    # reference batch sizes are PER-GPU (coco_config.yaml:77); ours must also
+    # scale with the data-parallel width so each chip sees batch_size items
+    # and the global batch divides the mesh
+    n_data = mesh.shape["data"]
+    config.optimizer.batch_size = config.optimizer.batch_size * (n_data // proc_count)
     dataloaders, samplers = build_coco_dataloaders(
         config, mode=mode, rank=proc_idx, world=proc_count
     )
