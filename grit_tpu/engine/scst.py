@@ -97,8 +97,11 @@ def sequence_log_probs(
         lambda x: jnp.repeat(x, k, axis=0) if hasattr(x, "ndim") and x.ndim > 0 else x,
         vis,
     )
+    # score against the processed features directly — __call__(dict, seq)
+    # would re-run grid_net (it treats dicts as raw cached detector features)
     out = model.apply(
-        params, vis, inputs, deterministic=deterministic, rngs=rngs
+        params, vis, inputs, method="score_tokens",
+        deterministic=deterministic, rngs=rngs,
     )  # [B*k, T, V]
     logp = jnp.take_along_axis(out, flat[..., None], axis=-1)[..., 0]  # [B*k, T]
 

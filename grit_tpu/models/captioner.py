@@ -102,6 +102,18 @@ class GRITCaptioner(nn.Module):
         vis = self.compute_vis(images, deterministic=deterministic)
         return self.cap_generator(seq, vis, deterministic=deterministic)
 
+    def score_tokens(
+        self,
+        vis_inputs: VisInputs,
+        seq: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Teacher-forced log-probs over ALREADY-PROCESSED visual features
+        (the output of ``compute_vis``) — unlike ``__call__``, which treats a
+        dict input as raw cached detector features and re-runs grid_net."""
+        return self.cap_generator(seq, vis_inputs, deterministic=deterministic)
+
     # ---- decoding interface (used under model.apply(..., method=...)) --------
     def decode_step(
         self,

@@ -38,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grit_tpu.ops.msda import _bilinear_corners, _msda_fused_xla, level_start_index
 
+# MXU precision for the one-hot contraction.  HIGHEST = fp32-true (bit-close
+# to the oracle); DEFAULT = single bf16 pass (~3x faster, rounding at bf16 —
+# appropriate when the surrounding model already computes in bf16).
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _prepare_indices(spatial_shapes, sampling_locations, attention_weights):
     """-> (flat_idx [N, Lq, M, C] int32, weights [N, Lq, M, C]) with C = L*P*4."""
@@ -84,7 +89,7 @@ def _gather_matmul_kernel(idx_ref, w_ref, value_ref, out_ref):
         # is a selection — default bf16 MXU passes would round the values)
         acc = acc + jax.lax.dot_general(
             onehot, value, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=MATMUL_PRECISION,
             preferred_element_type=jnp.float32,
         )
     out_ref[0] = acc.astype(out_ref.dtype)

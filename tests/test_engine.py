@@ -70,6 +70,9 @@ def tiny_model():
         def compute_vis(self, samples, *, deterministic=True):
             return samples  # identity "visual features" for the SCST rescoring API
 
+        def score_tokens(self, vis, seq, *, deterministic=True):
+            return self(vis, seq, deterministic=deterministic)
+
     return Toy()
 
 
