@@ -40,6 +40,9 @@ def load_any_checkpoint(path, model, config):
 
 
 def main(argv=None):
+    from grit_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     from grit_tpu.config import default_caption_config
     from grit_tpu.data.coco import build_coco_dataloaders
     from grit_tpu.data.field import TextField

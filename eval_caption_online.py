@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from grit_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from grit_tpu.config import default_caption_config

@@ -36,6 +36,9 @@ class NocapsDataset:
 
 
 def main():
+    from grit_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from grit_tpu.config import default_caption_config

@@ -93,6 +93,18 @@ class MetricLogger:
         print(f"{header} total: {time.time() - start:.1f}s")
 
 
+def enable_compile_cache(path: str = "/tmp/jax_grit_cache") -> None:
+    """Persistent XLA compile cache — full-size graphs take ~10 min to build;
+    the second run of any CLI should not pay that again."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def device_memory_mb() -> float | None:
     """Live HBM usage of device 0, if the backend exposes it."""
     try:

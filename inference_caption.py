@@ -44,6 +44,9 @@ def caption_image(image_path, checkpoint, config=None, beam_size=None):
 
 
 def main():
+    from grit_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", required=True)
     ap.add_argument("--checkpoint", required=True)

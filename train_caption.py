@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from grit_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     from grit_tpu.config import default_caption_config
     from grit_tpu.convert import load_detector_checkpoint
     from grit_tpu.data.coco import build_coco_dataloaders

@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from grit_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     from grit_tpu.config import Config, default_detection_config
     from grit_tpu.detection.datasets import build_train_dataset, pad_targets
     from grit_tpu.detection.det_transforms import make_transforms
