@@ -38,10 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from grit_tpu.ops.msda import _bilinear_corners, _msda_fused_xla, level_start_index
 
-# MXU precision for the one-hot contraction.  HIGHEST = fp32-true (bit-close
-# to the oracle); DEFAULT = single bf16 pass (~3x faster, rounding at bf16 —
-# appropriate when the surrounding model already computes in bf16).
-MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+# MXU precision for the one-hot contraction.  None = adaptive: fp32 inputs
+# get HIGHEST (fp32-true, bit-close to the oracle — used by parity tests),
+# bf16 inputs get DEFAULT (single MXU pass, ~3x faster; rounding is at the
+# model's own precision).  Set explicitly to override.
+MATMUL_PRECISION = None
+
+
+def _precision_for(dtype):
+    if MATMUL_PRECISION is not None:
+        return MATMUL_PRECISION
+    return (
+        jax.lax.Precision.DEFAULT
+        if dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
 
 
 def _prepare_indices(spatial_shapes, sampling_locations, attention_weights):
@@ -89,7 +100,7 @@ def _gather_matmul_kernel(idx_ref, w_ref, value_ref, out_ref):
         # is a selection — default bf16 MXU passes would round the values)
         acc = acc + jax.lax.dot_general(
             onehot, value, (((1,), (0,)), ((), ())),
-            precision=MATMUL_PRECISION,
+            precision=_precision_for(value.dtype),
             preferred_element_type=jnp.float32,
         )
     out_ref[0] = acc.astype(out_ref.dtype)
