@@ -21,6 +21,7 @@ import re
 from typing import Any, Iterator
 
 _ENV_RE = re.compile(r"\$\{oc\.env:([A-Za-z_][A-Za-z0-9_]*)\}")
+_MISSING = object()
 
 
 def _interp(value: Any) -> Any:
@@ -124,15 +125,27 @@ class Config:
         with open(path, "w") as f:
             yaml.safe_dump(self.to_dict(), f, sort_keys=False)
 
-    def apply_overrides(self, overrides: list[str]) -> "Config":
-        """Apply CLI-style dotted overrides, e.g. ``["model.d_model=768"]``."""
+    def apply_overrides(self, overrides: list[str], warn_unknown: bool = True) -> "Config":
+        """Apply CLI-style dotted overrides, e.g. ``["model.d_model=768"]``.
+
+        Unknown keys are applied but warned about (a typo'd override would
+        otherwise silently create a dead key).
+        """
+        import sys
+
         for ov in overrides:
             path, _, raw = ov.partition("=")
+            path = path.strip()
             try:
                 value = json.loads(raw)
             except json.JSONDecodeError:
                 value = raw
-            self.set(path.strip(), value)
+            if warn_unknown and self.select(path, _MISSING) is _MISSING:
+                print(
+                    f"[config] warning: override creates new key {path!r} "
+                    "(typo?)", file=sys.stderr,
+                )
+            self.set(path, value)
         return self
 
 
