@@ -58,13 +58,17 @@ def main():
 
     def generate(params, images):
         vis = model.apply(params, images, method="compute_vis")
+        kv = model.apply(params, vis, method="precompute_vis_kv")
 
         def decode_fn(token, t, vis_in, cache):
-            return model.apply(params, token, t, vis_in, cache, method="decode_step")
+            return model.apply(
+                params, token, t, vis_in["feat"], cache,
+                method="decode_step", vis_kv=vis_in["kv"],
+            )
 
         cache = model.apply(params, batch * beam, max_len, method="init_cache")
         res = beam_search(
-            decode_fn, cache, vis, batch, beam, max_len,
+            decode_fn, cache, {"feat": vis, "kv": kv}, batch, beam, max_len,
             config.model.bos_idx, config.model.eos_idx, out_size=1,
         )
         return res.sequences

@@ -27,14 +27,20 @@ def make_caption_generator(model, *, beam_size, max_len, bos_idx, eos_idx) -> Ca
 
     def generate(params, samples, batch_size: int):
         vis = model.apply(params, samples, method="compute_vis")
+        # project the step-invariant visual K/V once (decode steps then skip
+        # re-projecting ~200 visual tokens x 6 cross-attentions every step)
+        kv = model.apply(params, vis, method="precompute_vis_kv")
 
         def decode_fn(token, t, vis_in, cache):
-            return model.apply(params, token, t, vis_in, cache, method="decode_step")
+            return model.apply(
+                params, token, t, vis_in["feat"], cache,
+                method="decode_step", vis_kv=vis_in["kv"],
+            )
 
         cache = model.apply(params, batch_size * beam_size, max_len, method="init_cache")
         res = beam_search(
-            decode_fn, cache, vis, batch_size, beam_size, max_len,
-            bos_idx, eos_idx, out_size=1,
+            decode_fn, cache, {"feat": vis, "kv": kv}, batch_size, beam_size,
+            max_len, bos_idx, eos_idx, out_size=1,
         )
         return res.sequences[:, 0]  # [B, T]
 

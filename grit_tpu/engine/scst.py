@@ -55,17 +55,18 @@ def make_generate_step(
             params, samples, method="compute_vis",
             deterministic=deterministic, rngs=rngs,
         )
+        kv = model.apply(params, vis, method="precompute_vis_kv")
 
         def decode_fn(token, t, vis_in, cache):
             return model.apply(
-                params, token, t, vis_in, cache, method="decode_step",
-                deterministic=deterministic, rngs=rngs,
+                params, token, t, vis_in["feat"], cache, method="decode_step",
+                deterministic=deterministic, rngs=rngs, vis_kv=vis_in["kv"],
             )
 
         cache = model.apply(params, batch_size * beam_size, max_len, method="init_cache")
         res = beam_search(
-            decode_fn, cache, vis, batch_size, beam_size, max_len,
-            bos_idx, eos_idx, out_size=beam_size,
+            decode_fn, cache, {"feat": vis, "kv": kv}, batch_size, beam_size,
+            max_len, bos_idx, eos_idx, out_size=beam_size,
         )
         return res.sequences, res.log_probs
 

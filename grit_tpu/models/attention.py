@@ -148,15 +148,18 @@ class MultiHeadAttention(nn.Module):
         deterministic: bool = True,
         cache: Optional[KVCache] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        kv_projected: bool = False,
     ):
         """Returns output, or (output, new_cache) when a cache is given.
 
         With a cache, ``keys``/``values`` must be the current step's single
         token [B, 1, D]; attention runs over cache slots <= cache_index.
+        ``kv_projected``: keys/values already went through fc_k/fc_v.
         """
         if cache is None:
             out = self.attention(
-                queries, keys, values, mask, deterministic=deterministic
+                queries, keys, values, mask,
+                deterministic=deterministic, kv_projected=kv_projected,
             )
             out = self.drop(out, deterministic=deterministic)
             return self.layer_norm(queries + out)

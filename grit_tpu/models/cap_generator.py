@@ -85,15 +85,37 @@ class ParallelAttentionLayer(nn.Module):
         enc2 = self.vis_att2(self_att, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
         return self._fuse(self_att, enc1, enc2, mask_pad, deterministic=deterministic)
 
+    def precompute_vis_kv(self, y1, y2):
+        """Project the (step-invariant) visual K/V once before decoding."""
+        return {
+            "att1": self.vis_att1.attention.project_kv(y1, y1),
+            "att2": self.vis_att2.attention.project_kv(y2, y2),
+        }
+
     def decode(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, cache, cache_index,
-               *, deterministic=True):
+               *, deterministic=True, vis_kv=None):
         self_att, cache = self.self_att(
             x, x, x, mask_x, deterministic=deterministic,
             cache=cache, cache_index=cache_index,
         )
         self_att = self_att * mask_pad
-        enc1 = self.vis_att1(self_att, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
-        enc2 = self.vis_att2(self_att, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
+        if vis_kv is not None:
+            # visual K/V precomputed once per image (they never change across
+            # decode steps) — the per-step cross-attention collapses to one
+            # small q-projection + attention
+            k1, v1 = vis_kv["att1"]
+            k2, v2 = vis_kv["att2"]
+            enc1 = self.vis_att1(
+                self_att, k1, v1, mask_y1, deterministic=deterministic,
+                kv_projected=True,
+            ) * mask_pad
+            enc2 = self.vis_att2(
+                self_att, k2, v2, mask_y2, deterministic=deterministic,
+                kv_projected=True,
+            ) * mask_pad
+        else:
+            enc1 = self.vis_att1(self_att, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
+            enc2 = self.vis_att2(self_att, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
         return self._fuse(self_att, enc1, enc2, mask_pad, deterministic=deterministic), cache
 
 
@@ -254,6 +276,13 @@ class CaptionGenerator(nn.Module):
             "pad_hist": jnp.zeros((batch, t_max), bool),
         }
 
+    def precompute_vis_kv(self, vis_inputs: dict):
+        """Per-layer projected visual K/V (step-invariant; parallel decoder)."""
+        if self.decoder_name != "parallel":
+            return None
+        y1, y2, _, _ = self._vis(vis_inputs)
+        return tuple(layer.precompute_vis_kv(y1, y2) for layer in self.layers)
+
     def decode_step(
         self,
         token: jnp.ndarray,       # int [B, 1] — current input token
@@ -262,6 +291,7 @@ class CaptionGenerator(nn.Module):
         cache: DecodeCache,
         *,
         deterministic: bool = True,
+        vis_kv=None,              # optional per-layer precomputed visual K/V
     ):
         """One decoding step -> (log-probs [B, V], new cache)."""
         b = token.shape[0]
@@ -278,10 +308,13 @@ class CaptionGenerator(nn.Module):
 
         y1, y2, m1, m2 = self._vis(vis_inputs)
         new_layer_caches = []
-        for layer, layer_cache in zip(self.layers, cache["layers"]):
+        for li, (layer, layer_cache) in enumerate(zip(self.layers, cache["layers"])):
+            kwargs = {}
+            if vis_kv is not None and self.decoder_name == "parallel":
+                kwargs["vis_kv"] = vis_kv[li]
             x, new_cache = layer.decode(
                 x, y1, y2, mask_pad, mask_x, m1, m2, layer_cache, t,
-                deterministic=deterministic,
+                deterministic=deterministic, **kwargs,
             )
             new_layer_caches.append(new_cache)
         logits = self.fc(x)[:, 0]  # [B, V]

@@ -115,6 +115,10 @@ class GRITCaptioner(nn.Module):
         return self.cap_generator(seq, vis_inputs, deterministic=deterministic)
 
     # ---- decoding interface (used under model.apply(..., method=...)) --------
+    def precompute_vis_kv(self, vis_inputs: VisInputs):
+        """Step-invariant projected visual K/V for fast decoding."""
+        return self.cap_generator.precompute_vis_kv(vis_inputs)
+
     def decode_step(
         self,
         token: jnp.ndarray,
@@ -123,9 +127,10 @@ class GRITCaptioner(nn.Module):
         cache: DecodeCache,
         *,
         deterministic: bool = True,
+        vis_kv=None,
     ):
         return self.cap_generator.decode_step(
-            token, t, vis_inputs, cache, deterministic=deterministic
+            token, t, vis_inputs, cache, deterministic=deterministic, vis_kv=vis_kv
         )
 
     def init_cache(self, batch: int, t_max: int) -> DecodeCache:

@@ -89,6 +89,26 @@ class TestCachedDecodeParity:
         )
 
 
+class TestPrecomputedVisKV:
+    def test_decode_with_precomputed_kv_matches(self, model_and_params):
+        """Precomputing cross-attention K/V must not change decode outputs."""
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        kv = model.apply(params, vis, method="precompute_vis_kv")
+        tok = jnp.full((2, 1), BOS, jnp.int32)
+        c1 = model.apply(params, 2, MAXLEN, method="init_cache")
+        c2 = model.apply(params, 2, MAXLEN, method="init_cache")
+        for t in range(3):
+            lp1, c1 = model.apply(params, tok, jnp.asarray(t), vis, c1,
+                                  method="decode_step")
+            lp2, c2 = model.apply(params, tok, jnp.asarray(t), vis, c2,
+                                  method="decode_step", vis_kv=kv)
+            np.testing.assert_allclose(
+                np.asarray(lp1), np.asarray(lp2), rtol=1e-5, atol=1e-6
+            )
+            tok = jnp.argmax(lp1, -1)[:, None].astype(jnp.int32)
+
+
 class TestBeamSearch:
     def _decode_fn(self, model, params):
         def fn(token, t, vis, cache):
