@@ -38,6 +38,7 @@ class BeamResult(NamedTuple):
     sequences: jnp.ndarray   # int32 [B, out_size, max_len]
     log_probs: jnp.ndarray   # float [B, out_size, max_len] per-step word log-probs
     scores: jnp.ndarray      # float [B, out_size] total sequence log-prob
+    all_log_probs: jnp.ndarray | None = None  # [B, out_size, max_len, V] if requested
 
 
 def _tile_beam(tree, beam: int):
@@ -156,7 +157,15 @@ def beam_search(
     scores = jnp.take_along_axis(scores, order, axis=1)[:, :out_size]
     sequences = jnp.take_along_axis(sequences, order[..., None], axis=1)[:, :out_size]
     log_probs = jnp.take_along_axis(log_probs, order[..., None], axis=1)[:, :out_size]
-    return BeamResult(sequences, log_probs, scores)
+
+    all_log_probs = None
+    if return_all_probs:
+        # [T, B, K, V] -> [B, K, T, V], sorted by final beam order
+        alp = jnp.moveaxis(steps["all_logp"], 0, 2)
+        all_log_probs = jnp.take_along_axis(
+            alp, order[..., None, None], axis=1
+        )[:, :out_size]
+    return BeamResult(sequences, log_probs, scores, all_log_probs)
 
 
 def greedy_search(
