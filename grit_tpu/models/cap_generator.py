@@ -267,7 +267,9 @@ class CaptionGenerator(nn.Module):
         y1, y2, m1, m2 = self._vis(vis_inputs)
         for layer in self.layers:
             x = layer(x, y1, y2, mask_pad, mask_x, m1, m2, deterministic=deterministic)
-        return nn.log_softmax(self.fc(x), axis=-1)
+        # fp32 log-softmax regardless of compute dtype: NLL losses and beam
+        # scores need full resolution (bf16 quantizes log-probs to ~1e-2)
+        return nn.log_softmax(self.fc(x).astype(jnp.float32), axis=-1)
 
     def init_cache(self, batch: int, t_max: int, dtype=jnp.float32) -> DecodeCache:
         zeros = jnp.zeros((batch, t_max, self.d_model), self.dtype or dtype)
@@ -319,6 +321,6 @@ class CaptionGenerator(nn.Module):
             new_layer_caches.append(new_cache)
         logits = self.fc(x)[:, 0]  # [B, V]
         return (
-            nn.log_softmax(logits, axis=-1),
+            nn.log_softmax(logits.astype(jnp.float32), axis=-1),
             {"layers": tuple(new_layer_caches), "pad_hist": pad_hist},
         )
