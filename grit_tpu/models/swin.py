@@ -71,6 +71,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    fused: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -81,8 +82,7 @@ class WindowAttention(nn.Module):
         d = c // h
         qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
         qkv = qkv.reshape(b_, n, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * (d ** -0.5), qkv[1], qkv[2]
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        q, k, v = qkv[0], qkv[1], qkv[2]
 
         table = self.param(
             "relative_position_bias_table",
@@ -91,15 +91,32 @@ class WindowAttention(nn.Module):
         )
         rel_idx = relative_position_index((self.window, self.window))  # [N, N]
         bias = table[rel_idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
 
-        if bias_mask is not None:
-            nw = bias_mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, h, n, n) + bias_mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(b_, h, n, n)
-        attn = nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        use_fused = self.fused and (deterministic or self.attn_drop == 0.0)
+        if use_fused:
+            # scores + bias + shift-mask + softmax + AV fused in VMEM — never
+            # materializes the [W, h, N, N] score tensor (the profiled
+            # bottleneck of the unfused path)
+            from grit_tpu.ops.window_attention import fused_window_attention
+
+            if bias_mask is not None:
+                combined = (
+                    bias[None].astype(jnp.float32)
+                    + bias_mask[:, None].astype(jnp.float32)
+                )  # [nW, h, N, N]
+            else:
+                combined = bias[None].astype(jnp.float32)  # [1, h, N, N]
+            out = fused_window_attention(q, k, v, combined, d ** -0.5)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k)
+            attn = attn + bias[None].astype(attn.dtype)
+            if bias_mask is not None:
+                nw = bias_mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, h, n, n) + bias_mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(b_, h, n, n)
+            attn = nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         out = nn.Dense(c, name="proj", dtype=self.dtype)(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -114,6 +131,7 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
+    fused_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -140,7 +158,7 @@ class SwinBlock(nn.Module):
         attn_out = WindowAttention(
             self.dim, self.window, self.num_heads,
             attn_drop=self.attn_drop, proj_drop=self.drop,
-            dtype=self.dtype, name="attn",
+            fused=self.fused_attn, dtype=self.dtype, name="attn",
         )(windows, mask, deterministic=deterministic)
         x = window_reverse(attn_out, self.window, hp, wp)
 
@@ -193,6 +211,7 @@ class BasicLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path_rates: Sequence[float] = ()
     use_checkpoint: bool = False
+    fused_attn: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -213,6 +232,7 @@ class BasicLayer(nn.Module):
                 drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path_rate=self.drop_path_rates[i] if self.drop_path_rates else 0.0,
+                fused_attn=self.fused_attn,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, hw, deterministic)
@@ -233,6 +253,7 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.3
     pos_dim: int = 1024
     use_checkpoint: bool = False
+    fused_attn: bool = False
     dtype: Any = None
 
     @property
@@ -273,6 +294,7 @@ class SwinTransformer(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 drop_path_rates=dpr[start:start + self.depths[stage]],
                 use_checkpoint=self.use_checkpoint,
+                fused_attn=self.fused_attn,
                 dtype=self.dtype,
                 name=f"layers_{stage}",
             )(x, hw, deterministic=deterministic)
@@ -331,5 +353,14 @@ BACKBONES = {
 
 def build_swin(name: str = "swin_base_win7_384_22k", dtype=None, **overrides):
     spec = dict(BACKBONES[name])
+    if "fused_attn" not in overrides:
+        # the fused Pallas window-attention kernel needs the Mosaic TPU
+        # compiler; everywhere else use the plain XLA formulation
+        import jax
+
+        try:
+            spec["fused_attn"] = jax.default_backend() == "tpu"
+        except Exception:
+            pass
     spec.update(overrides)
     return SwinTransformer(dtype=dtype, **spec)
