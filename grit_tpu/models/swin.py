@@ -75,8 +75,8 @@ class WindowAttention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, bias_mask=None, *, deterministic=True):
-        """x: [nW*B, N, C] with N = window²; bias_mask: [nW, N, N] additive or None."""
+    def __call__(self, x, bias_mask=None, *, deterministic=True, n_windows=None):
+        """x: [B*nW, N, C] with N = window²; bias_mask: [nW, N, N] additive or None."""
         b_, n, c = x.shape
         h = self.num_heads
         d = c // h
@@ -92,7 +92,10 @@ class WindowAttention(nn.Module):
         rel_idx = relative_position_index((self.window, self.window))  # [N, N]
         bias = table[rel_idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
 
-        use_fused = self.fused and (deterministic or self.attn_drop == 0.0)
+        use_fused = (
+            self.fused and n_windows is not None
+            and (deterministic or self.attn_drop == 0.0)
+        )
         if use_fused:
             # scores + bias + shift-mask + softmax + AV fused in VMEM — never
             # materializes the [W, h, N, N] score tensor (the profiled
@@ -106,7 +109,12 @@ class WindowAttention(nn.Module):
                 )  # [nW, h, N, N]
             else:
                 combined = bias[None].astype(jnp.float32)  # [1, h, N, N]
-            out = fused_window_attention(q, k, v, combined, d ** -0.5)
+            nb = b_ // n_windows
+            def split_w(t):
+                return t.reshape(nb, n_windows, h, n, d)
+            out = fused_window_attention(
+                split_w(q), split_w(k), split_w(v), combined, d ** -0.5
+            ).reshape(b_, h, n, d)
         else:
             attn = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k)
             attn = attn + bias[None].astype(attn.dtype)
@@ -159,7 +167,10 @@ class SwinBlock(nn.Module):
             self.dim, self.window, self.num_heads,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             fused=self.fused_attn, dtype=self.dtype, name="attn",
-        )(windows, mask, deterministic=deterministic)
+        )(
+            windows, mask, deterministic=deterministic,
+            n_windows=(hp // self.window) * (wp // self.window),
+        )
         x = window_reverse(attn_out, self.window, hp, wp)
 
         if self.shift > 0:

@@ -8,15 +8,16 @@ ops at ~8 ms each).  This kernel computes
 
     out = softmax(q k^T * scale + rel_bias [+ shift_mask]) @ v
 
-entirely in VMEM per window: one grid step handles one window's heads, with
-the combined additive bias selected by ``window_id % n_mask_kinds`` through
-the BlockSpec index map (so the shifted-window mask pattern, which repeats
-per image, is never broadcast across the batch).
+with the scores living only in VMEM.
 
-Shapes: q, k, v [W, h, N, d] with W = batch * windows, N = window² (144),
-d = head dim; bias [M, h, N, N] with M = number of distinct window kinds
-(nW for shifted blocks, 1 otherwise).  Scores accumulate in fp32; the
-probability matrix is cast back to the input dtype for the AV matmul.
+Layout/grid design (the first cut was SLOWER than XLA because the combined
+[h, N, N] bias block was re-fetched for every one of B*nW programs):
+q/k/v are reshaped to **window-kind-major** [nW, B, h, N, d] and the grid is
+(nW, B/BBLK) with the batch as the fastest axis — consecutive grid steps
+keep the same bias block index, so Pallas skips its DMA and each of the nW
+bias blocks crosses HBM exactly once; BBLK batch rows per program amortize
+program overhead.  Scores accumulate in fp32; the probability matrix is cast
+back to the input dtype for the AV matmul.
 
 Backward falls back to autodiff of the unfused formulation via custom_vjp
 (inference is the headline path; training can remat).
@@ -32,66 +33,86 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float, n_heads: int):
-    for hh in range(n_heads):
-        q = q_ref[0, hh].astype(jnp.float32) * scale          # [N, d]
-        k = k_ref[0, hh].astype(jnp.float32)                  # [N, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                     # [N, N]
-        s = s + bias_ref[0, hh]
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jnp.dot(
-            p.astype(v_ref.dtype), v_ref[0, hh],
-            preferred_element_type=jnp.float32,
-        )                                                     # [N, d]
-        out_ref[0, hh] = out.astype(out_ref.dtype)
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, n_heads, bblk):
+    for bb in range(bblk):
+        for hh in range(n_heads):
+            q = q_ref[0, bb, hh].astype(jnp.float32) * scale      # [N, d]
+            k = k_ref[0, bb, hh].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                     # [N, N]
+            s = s + bias_ref[0, hh]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jnp.dot(
+                p.astype(v_ref.dtype), v_ref[0, bb, hh],
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, bb, hh] = out.astype(out_ref.dtype)
+
+
+def _pick_bblk(b: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if b % cand == 0:
+            return cand
+    return 1
 
 
 def _forward(q, k, v, bias, scale):
-    w, h, n, d = q.shape
+    """q, k, v: [B, nW, h, N, d]; bias: [M, h, N, N] (M == nW or 1)."""
+    b, nw, h, n, d = q.shape
     m = bias.shape[0]
-    kernel = functools.partial(_kernel, scale=scale, n_heads=h)
-    return pl.pallas_call(
+    bblk = _pick_bblk(b)
+
+    def to_kind_major(x):
+        return x.transpose(1, 0, 2, 3, 4)  # [nW, B, h, N, d]
+
+    qt, kt, vt = to_kind_major(q), to_kind_major(k), to_kind_major(v)
+    kernel = functools.partial(_kernel, scale=scale, n_heads=h, bblk=bblk)
+    qkv_spec = pl.BlockSpec(
+        (1, bblk, h, n, d), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
         kernel,
-        grid=(w,),
+        grid=(nw, b // bblk),
         in_specs=[
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, n), lambda i, _m=m: (i % _m, 0, 0, 0),
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, h, n, n), lambda i, j, _m=m: (i % _m, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((w, h, n, d), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * w * h * n * n * d,
-            bytes_accessed=(3 * q.size + w * h * n * n) * q.dtype.itemsize,
-            transcendentals=w * h * n * n,
+        out_specs=pl.BlockSpec(
+            (1, bblk, h, n, d), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-    )(q, k, v, bias)
+        out_shape=jax.ShapeDtypeStruct((nw, b, h, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nw * h * n * n * d,
+            bytes_accessed=(4 * q.size + m * h * n * n) * q.dtype.itemsize,
+            transcendentals=b * nw * h * n * n,
+        ),
+    )(qt, kt, vt, bias)
+    return out.transpose(1, 0, 2, 3, 4)  # back to [B, nW, h, N, d]
 
 
 def _unfused(q, k, v, bias, scale):
-    w, h, n, d = q.shape
+    b, nw, h, n, d = q.shape
     m = bias.shape[0]
     s = jnp.einsum(
-        "whqd,whkd->whqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32)
+        "bwhqd,bwhkd->bwhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32)
     )
-    reps = w // m
-    full_bias = jnp.tile(bias, (reps, 1, 1, 1)) if m > 1 else bias
-    s = s + full_bias
+    s = s + bias[None]  # [1, M, h, N, N] broadcasts over batch when M == nW
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    return jnp.einsum("whqk,whkd->whqd", p, v)
+    return jnp.einsum("bwhqk,bwhkd->bwhqd", p, v)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_window_attention(q, k, v, bias, scale):
-    """softmax(q k^T * scale + bias[window % M]) @ v  — fused on TPU."""
+    """softmax(q k^T * scale + bias[window kind]) @ v — fused on TPU.
+
+    q, k, v: [B, nW, h, N, d]; bias: [M, h, N, N] with M == nW or M == 1.
+    """
     return _forward(q, k, v, bias, scale)
 
 
@@ -101,8 +122,13 @@ def _fwd(q, k, v, bias, scale):
 
 def _bwd(scale, res, g):
     q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q_, k_, v_, b_: _unfused(q_, k_, v_, b_, scale), q, k, v, bias)
-    return vjp(g)
+    out, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _unfused(q_, k_, v_, b_, scale), q, k, v, bias
+    )
+    dq, dk, dv, dbias = vjp(g)
+    if bias.shape[0] == 1:
+        dbias = dbias  # already reduced by broadcasting rules in vjp
+    return dq, dk, dv, dbias
 
 
 fused_window_attention.defvjp(_fwd, _bwd)
