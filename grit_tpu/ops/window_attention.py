@@ -34,23 +34,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, n_heads, bblk):
-    for bb in range(bblk):
-        for hh in range(n_heads):
-            q = q_ref[0, bb, hh].astype(jnp.float32) * scale      # [N, d]
-            k = k_ref[0, bb, hh].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                     # [N, N]
-            s = s + bias_ref[0, hh]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            out = jnp.dot(
-                p.astype(v_ref.dtype), v_ref[0, bb, hh],
-                preferred_element_type=jnp.float32,
-            )
-            out_ref[0, bb, hh] = out.astype(out_ref.dtype)
+    # sequential fori_loop (NOT an unrolled python loop: unrolling kept every
+    # iteration's [N, N] fp32 intermediates live and blew the VMEM stack)
+    def body(idx, _):
+        bb = idx // n_heads
+        hh = idx % n_heads
+        q = q_ref[0, bb, hh].astype(jnp.float32) * scale      # [N, d]
+        k = k_ref[0, bb, hh].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [N, N]
+        s = s + bias_ref[0, hh]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0, bb, hh],
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, bb, hh] = out.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bblk * n_heads, body, 0)
 
 
 def _pick_bblk(b: int) -> int:
