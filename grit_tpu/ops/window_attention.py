@@ -33,12 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, n_heads, bblk):
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, hblk, bblk):
     # sequential fori_loop (NOT an unrolled python loop: unrolling kept every
     # iteration's [N, N] fp32 intermediates live and blew the VMEM stack)
     def body(idx, _):
-        bb = idx // n_heads
-        hh = idx % n_heads
+        bb = idx // hblk
+        hh = idx % hblk
         q = q_ref[0, bb, hh].astype(jnp.float32) * scale      # [N, d]
         k = k_ref[0, bb, hh].astype(jnp.float32)
         s = jax.lax.dot_general(
@@ -56,40 +56,50 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, n_heads, bblk):
         out_ref[0, bb, hh] = out.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, bblk * n_heads, body, 0)
+    jax.lax.fori_loop(0, bblk * hblk, body, 0)
 
 
-def _pick_bblk(b: int) -> int:
-    for cand in (8, 4, 2, 1):
-        if b % cand == 0:
-            return cand
-    return 1
+def _pick_blocks(b: int, h: int, n: int) -> tuple[int, int]:
+    """(bblk, hblk) such that the lane-PADDED qkv/out blocks fit VMEM.
+
+    Mosaic pads the last dim to 128 lanes, so a [*, N, d=32] block occupies
+    4x its logical bytes; budget ~5 MB across the 4 double-buffered blocks.
+    """
+    budget_rows = (5 << 20) // (8 * n * 128 * 2)  # bblk * hblk upper bound
+    hblk = h
+    while hblk > 1 and hblk > budget_rows:
+        hblk //= 2
+    bblk = max(1, min(8, budget_rows // hblk))
+    while b % bblk:
+        bblk -= 1
+    return bblk, hblk
 
 
 def _forward(q, k, v, bias, scale):
     """q, k, v: [B, nW, h, N, d]; bias: [M, h, N, N] (M == nW or 1)."""
     b, nw, h, n, d = q.shape
     m = bias.shape[0]
-    bblk = _pick_bblk(b)
+    bblk, hblk = _pick_blocks(b, h, n)
 
     def to_kind_major(x):
         return x.transpose(1, 0, 2, 3, 4)  # [nW, B, h, N, d]
 
     qt, kt, vt = to_kind_major(q), to_kind_major(k), to_kind_major(v)
-    kernel = functools.partial(_kernel, scale=scale, n_heads=h, bblk=bblk)
+    kernel = functools.partial(_kernel, scale=scale, hblk=hblk, bblk=bblk)
     qkv_spec = pl.BlockSpec(
-        (1, bblk, h, n, d), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, bblk, hblk, n, d), lambda i, j, kk: (i, j, kk, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(nw, b // bblk),
+        grid=(nw, b // bblk, h // hblk),
         in_specs=[
             qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((1, h, n, n), lambda i, j, _m=m: (i % _m, 0, 0, 0),
+            pl.BlockSpec((1, hblk, n, n), lambda i, j, kk, _m=m: (i % _m, kk, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bblk, h, n, d), lambda i, j: (i, j, 0, 0, 0),
+            (1, bblk, hblk, n, d), lambda i, j, kk: (i, j, kk, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nw, b, h, n, d), q.dtype),
