@@ -363,15 +363,15 @@ BACKBONES = {
 
 
 def build_swin(name: str = "swin_base_win7_384_22k", dtype=None, **overrides):
-    spec = dict(BACKBONES[name])
-    if "fused_attn" not in overrides:
-        # the fused Pallas window-attention kernel needs the Mosaic TPU
-        # compiler; everywhere else use the plain XLA formulation
-        import jax
+    """Build a backbone by preset name.
 
-        try:
-            spec["fused_attn"] = jax.default_backend() == "tpu"
-        except Exception:
-            pass
+    ``fused_attn=True`` selects the Pallas fused window-attention kernel
+    (grit_tpu.ops.window_attention).  Measured on v5e it LOSES to the plain
+    XLA formulation at Swin's window shapes (N=144, d=32: the serialized
+    per-window matmuls are MXU-hostile; XLA's batched einsum keeps the MXU
+    streaming despite paying HBM for the score tensors) — so it stays off by
+    default and exists as a documented, parity-tested experiment.
+    """
+    spec = dict(BACKBONES[name])
     spec.update(overrides)
     return SwinTransformer(dtype=dtype, **spec)
