@@ -193,8 +193,12 @@ def default_caption_config() -> Config:
             "eos_idx": 3,
             "d_model": 512,
             "n_heads": 8,
-            # TPU-specific: compute dtype for the vision tower ("float32"|"bfloat16")
-            "compute_dtype": "float32",
+            # TPU-specific knobs (not in the reference schema)
+            "compute_dtype": "float32",   # "float32" | "bfloat16"
+            "backbone": "swin_base_win7_384_22k",  # see swin.BACKBONES
+            "msda_impl": "",              # "" = backend default (pallas on TPU)
+            "use_checkpoint": False,      # Swin activation remat
+            "replicate_alpha_bug": True,  # fc_alpha1-for-alpha2 quirk (ckpt parity)
             "grid_net": {"n_memories": 1, "n_layers": 3},
             "cap_generator": {"decoder_name": "parallel", "n_layers": 3},
             "detector": {

@@ -367,11 +367,11 @@ def build_coco_dataloaders(config, mode: str = "finetune", rank: int = 0, world:
         ),
         "valid_dict": CocoLoader(
             datasets["valid_dict"], max(1, sc_bs * 2), transform=transform["valid"],
-            mode="dict", **common,
+            hdf5=hdf5, mode="dict", **common,
         ),
         "test_dict": CocoLoader(
             datasets["test_dict"], max(1, sc_bs * 2), transform=transform["valid"],
-            mode="dict", **common,
+            hdf5=hdf5, mode="dict", **common,
         ),
     }
     return loaders, {k: loaders[k] for k in ("train", "valid", "train_dict")}

@@ -102,7 +102,7 @@ def build_detector(config, dtype=None) -> Detector:
             num_classes=det_cfg.num_classes,
             num_queries=det_cfg.num_queries,
             with_box_refine=det_cfg.with_box_refine,
-            msda_impl=config.model.get("msda_impl", _default_msda_impl()),
+            msda_impl=config.model.get("msda_impl") or _default_msda_impl(),
             dtype=dtype,
             name="det_module",
         )

@@ -19,19 +19,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def extract_vis_features(detector_apply, params, config, dataloaders, out_path):
+    """One feature row per UNIQUE image across train/valid/test (the dict
+    loaders iterate images, not annotations), so the hdf5 serves every split
+    incl. test-dict evaluation."""
     import h5py
-    import jax
 
+    seen: set = set()
     ids, gri_f, gri_m, reg_f, reg_m = [], [], [], [], []
-    for name in ("train", "valid"):
+    for name in ("train_dict", "valid_dict", "test_dict"):
         for batch in dataloaders[name]:
             vis = detector_apply(params, batch["samples"])
-            gri_f.append(np.asarray(vis["gri_feat"], np.float16))
-            gri_m.append(np.asarray(vis["gri_mask"]))
+            keep = [i for i, img_id in enumerate(batch["image_id"])
+                    if int(img_id) not in seen]
+            if not keep:
+                continue
+            seen.update(int(batch["image_id"][i]) for i in keep)
+            gri_f.append(np.asarray(vis["gri_feat"], np.float16)[keep])
+            gri_m.append(np.asarray(vis["gri_mask"])[keep])
             if "reg_feat" in vis:
-                reg_f.append(np.asarray(vis["reg_feat"], np.float16))
-                reg_m.append(np.asarray(vis["reg_mask"]))
-            ids += [int(i) for i in batch["image_id"]]
+                reg_f.append(np.asarray(vis["reg_feat"], np.float16)[keep])
+                reg_m.append(np.asarray(vis["reg_mask"])[keep])
+            ids += [int(batch["image_id"][i]) for i in keep]
 
     with h5py.File(out_path, "w") as f:
         f.create_dataset("image_ids", data=np.asarray(ids))
