@@ -25,7 +25,6 @@ The per-step callable is the model's single-token ``decode_step`` under
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
