@@ -52,11 +52,11 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--beam", type=int, default=None)
     ap.add_argument("--vocab", default=None)
-    args = ap.parse_args()
+    args, overrides = ap.parse_known_args()
 
     from grit_tpu.config import default_caption_config
 
-    config = default_caption_config()
+    config = default_caption_config().apply_overrides(overrides)
     if args.vocab:
         config.dataset.vocab_path = args.vocab
     caption = caption_image(args.image, args.checkpoint, config, args.beam)
