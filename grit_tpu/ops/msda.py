@@ -131,7 +131,7 @@ def _msda_fused_xla(value, spatial_shapes, sampling_locations, attention_weights
     gathered = jnp.take_along_axis(value_t, idx[..., None], axis=2)  # [N, M, K, D]
     w = w_total.transpose(0, 2, 1, 3, 4, 5).reshape(n, m, k)  # [N, M, K]
     out = (gathered * w[..., None]).reshape(n, m, lq, nlvl * npts * 4, d).sum(3)
-    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d)
+    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d).astype(value.dtype)
 
 
 @partial(jax.jit, static_argnames=("spatial_shapes",))
@@ -173,7 +173,7 @@ def _msda_flat_gather(value, spatial_shapes, sampling_locations, attention_weigh
     gathered = jnp.take(table, idx.reshape(-1), axis=0)  # [N*M*K, D]
     w = w_total.transpose(0, 2, 1, 3, 4, 5).reshape(n * m * k)
     out = (gathered * w[:, None]).reshape(n, m, lq, nlvl * npts * 4, d).sum(3)
-    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d)
+    return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d).astype(value.dtype)
 
 
 @partial(jax.jit, static_argnames=("spatial_shapes",))
