@@ -173,3 +173,30 @@ class TestBeamSearch:
         vis = model.apply(params, imgs, method="compute_vis")
         res = run(vis)
         assert res.sequences.shape == (2, 1, MAXLEN)
+
+
+class TestBatchingInvariance:
+    def test_same_image_same_caption_regardless_of_batchmates(self, model_and_params):
+        """An image's beam output must not depend on what else is in the
+        batch (checks mask plumbing end-to-end)."""
+        model, params, imgs, _ = model_and_params
+
+        def run(batch_imgs, batch_size):
+            vis = model.apply(params, batch_imgs, method="compute_vis")
+            def fn(token, t, v, c):
+                return model.apply(params, token, t, v, c, method="decode_step")
+            cache = model.apply(params, batch_size * 2, MAXLEN, method="init_cache")
+            return beam_search(fn, cache, vis, batch_size, 2, MAXLEN, BOS, EOS)
+
+        from grit_tpu.utils.nested import ImageBatch
+
+        solo = ImageBatch(imgs.images[:1], imgs.mask[:1])
+        res_pair = run(imgs, 2)
+        res_solo = run(solo, 1)
+        np.testing.assert_array_equal(
+            np.asarray(res_pair.sequences[0]), np.asarray(res_solo.sequences[0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_pair.scores[0]), np.asarray(res_solo.scores[0]),
+            rtol=1e-4, atol=1e-5,
+        )
