@@ -56,6 +56,24 @@ def optax_sigmoid_ce(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def dice_loss(logits, targets, num_boxes):
+    """DICE/F-1 mask loss (od_losses.py:22-37); masks flattened per box."""
+    probs = jax.nn.sigmoid(logits).reshape(logits.shape[0], -1)
+    targets = targets.reshape(targets.shape[0], -1)
+    numerator = 2 * (probs * targets).sum(-1)
+    denominator = probs.sum(-1) + targets.sum(-1)
+    return (1 - (numerator + 1) / (denominator + 1)).sum() / num_boxes
+
+
+def accuracy(logits, labels, topk: int = 1):
+    """Top-k accuracy in percent (utils/misc.py:469); logging helper."""
+    if logits.shape[0] == 0:
+        return jnp.asarray(0.0)
+    _, pred = jax.lax.top_k(logits, topk)
+    correct = (pred == labels[:, None]).any(axis=1)
+    return correct.mean() * 100.0
+
+
 def _host_lsa(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
     """Batched host-side Hungarian. cost [B, Q, G], n_valid [B] -> assign [B, G]."""
     from scipy.optimize import linear_sum_assignment
@@ -171,17 +189,24 @@ class SetCriterion:
         )(src_boxes, targets["boxes"])
         giou_l = jnp.where(matched, 1 - giou, 0.0)
 
-        # --- cardinality (logging) ------------------------------------------
+        # --- cardinality + class error (logging) -----------------------------
         card_pred = (jnp.argmax(pred_logits, -1) != c - 1).sum(-1)
         card_err = jnp.abs(
             card_pred.astype(jnp.float32) - targets["valid"].sum(-1).astype(jnp.float32)
         ).mean()
+        # top-1 class error over matched queries (od_losses.py:115)
+        matched_logits = jnp.take_along_axis(
+            pred_logits, safe_assign[..., None], axis=1
+        )  # [B, G, C]
+        correct = (jnp.argmax(matched_logits, -1) == targets["labels"]) & matched
+        class_err = 100.0 * (1.0 - correct.sum() / jnp.maximum(matched.sum(), 1))
 
         out = {
             "loss_ce": loss_ce,
             "loss_bbox": l1.sum() / num_boxes,
             "loss_giou": giou_l.sum() / num_boxes,
             "cardinality_error": jax.lax.stop_gradient(card_err),
+            "class_error": jax.lax.stop_gradient(class_err),
         }
         return out, assign
 
@@ -219,7 +244,7 @@ class SetCriterion:
                 aux["pred_logits"], aux["pred_boxes"], targets, num_boxes
             )
             losses.update({f"{k}_{i}": v for k, v in aux_losses.items()
-                           if not k.startswith("cardinality")})
+                           if not k.endswith("_error")})  # logging keys: last layer only
         return losses
 
     def total_loss(self, losses: dict) -> jnp.ndarray:

@@ -45,6 +45,25 @@ def generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray
     return iou - (area - union) / area
 
 
+def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
+    """Tight xyxy boxes around binary masks [N, H, W] (utils/box_ops.py:72-96).
+
+    Empty masks produce a zero box.
+    """
+    n, h, w = masks.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    m = masks.astype(jnp.float32)
+    big = 1e8
+    x_min = jnp.min(jnp.where(m > 0, xs, big), axis=(1, 2))
+    x_max = jnp.max(jnp.where(m > 0, xs, -big), axis=(1, 2))
+    y_min = jnp.min(jnp.where(m > 0, ys, big), axis=(1, 2))
+    y_max = jnp.max(jnp.where(m > 0, ys, -big), axis=(1, 2))
+    any_px = m.sum((1, 2)) > 0
+    box = jnp.stack([x_min, y_min, x_max, y_max], axis=1)
+    return jnp.where(any_px[:, None], box, 0.0)
+
+
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """logit with the reference's clamping (utils/misc.py:516)."""
     x = jnp.clip(x, 0.0, 1.0)

@@ -160,3 +160,47 @@ class TestDetectionModel:
         assert "aux_outputs" not in out_eval
         b = np.asarray(out["pred_boxes"])
         assert ((b >= 0) & (b <= 1)).all()
+
+
+class TestAuxHelpers:
+    def test_masks_to_boxes(self):
+        from grit_tpu.utils.boxes import masks_to_boxes
+
+        masks = np.zeros((3, 10, 12), bool)
+        masks[0, 2:5, 3:8] = True     # box (3, 2, 7, 4)
+        masks[1, 0, 0] = True         # single pixel
+        # masks[2] empty
+        boxes = np.asarray(masks_to_boxes(jnp.asarray(masks)))
+        np.testing.assert_allclose(boxes[0], [3, 2, 7, 4])
+        np.testing.assert_allclose(boxes[1], [0, 0, 0, 0])
+        np.testing.assert_allclose(boxes[2], [0, 0, 0, 0])
+
+    def test_dice_loss_perfect_vs_bad(self):
+        from grit_tpu.detection.losses import dice_loss
+
+        target = jnp.asarray([[1.0, 1.0, 0.0, 0.0]])
+        good = dice_loss(jnp.asarray([[20.0, 20.0, -20.0, -20.0]]), target, 1.0)
+        bad = dice_loss(jnp.asarray([[-20.0, -20.0, 20.0, 20.0]]), target, 1.0)
+        assert float(good) < 0.01
+        assert float(bad) > 0.7  # smoothing (+1) caps the worst case below 1
+
+    def test_accuracy_helper(self):
+        from grit_tpu.detection.losses import accuracy
+
+        logits = jnp.asarray([[5.0, 1.0, 0.0], [0.0, 1.0, 5.0]])
+        labels = jnp.asarray([0, 1])
+        assert float(accuracy(logits, labels, topk=1)) == 50.0
+        assert float(accuracy(logits, labels, topk=2)) == 100.0
+
+    def test_class_error_in_criterion(self):
+        crit = SetCriterion(num_classes=4)
+        targets = {
+            "labels": jnp.asarray([[1]]),
+            "boxes": jnp.asarray([[[0.5, 0.5, 0.2, 0.2]]]),
+            "valid": jnp.asarray([[True]]),
+        }
+        logits = jnp.full((1, 3, 4), -8.0).at[0, 0, 1].set(8.0)
+        boxes = jnp.asarray([[[0.5, 0.5, 0.2, 0.2], [0.1, 0.1, 0.1, 0.1],
+                              [0.9, 0.9, 0.1, 0.1]]])
+        losses = crit({"pred_logits": logits, "pred_boxes": boxes}, targets)
+        assert float(losses["class_error"]) == 0.0
