@@ -31,11 +31,21 @@ def load_any_checkpoint(path, model, config):
         )
         print(f"load: missing={miss}, unexpected={unexp}")
         return {"params": merged}
-    # an Orbax checkpoint directory (as written by the trainer)
+    # an Orbax checkpoint directory (as written by the trainer).  Restore to
+    # host numpy: the checkpoint may have been written on a different
+    # backend/topology (multi-chip trainer -> single-chip eval, CPU -> TPU),
+    # and sharding-less restore fails there.
+    import numpy as np
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(path))
+        meta = ckptr.metadata(os.path.abspath(path))
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.item_metadata
+        )
+        restored = ckptr.restore(
+            os.path.abspath(path), restore_args=restore_args
+        )
     return restored["params"]
 
 

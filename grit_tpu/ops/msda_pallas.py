@@ -55,12 +55,30 @@ def _precision_for(dtype):
     )
 
 
+def _aligned_spans(spatial_shapes):
+    """Per-level (start, size) with every start 8-row aligned.
+
+    The kernel slices the value slab per level along the sublane dimension;
+    aligning each level segment to 8 rows keeps those slices layout-friendly.
+    """
+    starts, sizes = [], []
+    off = 0
+    for h, w in spatial_shapes:
+        starts.append(off)
+        sizes.append(h * w)
+        off += -(-(h * w) // 8) * 8
+    return starts, sizes, off
+
+
 def _prepare_indices(spatial_shapes, sampling_locations, attention_weights):
-    """-> (flat_idx [N, Lq, M, C] int32, weights [N, Lq, M, C]) with C = L*P*4."""
+    """-> (flat_idx [N, Lq, M, C] int32, weights [N, Lq, M, C]) with C = L*P*4.
+
+    Indices address the LEVEL-ALIGNED value layout of ``_aligned_spans``.
+    """
     n, lq, m, L, p, _ = sampling_locations.shape
     hs = np.array([h for h, _ in spatial_shapes], np.float32)
     ws = np.array([w for _, w in spatial_shapes], np.float32)
-    st = np.array(level_start_index(spatial_shapes), np.int32)
+    st = np.array(_aligned_spans(spatial_shapes)[0], np.int32)
 
     px = sampling_locations[..., 0] * ws[None, None, None, :, None] - 0.5
     py = sampling_locations[..., 1] * hs[None, None, None, :, None] - 0.5
@@ -79,27 +97,37 @@ def _prepare_indices(spatial_shapes, sampling_locations, attention_weights):
     return flat.reshape(n, lq, m, c), w_total.reshape(n, lq, m, c)
 
 
-def _gather_matmul_kernel(idx_ref, w_ref, value_ref, out_ref):
-    """One (batch*head) program: out[q, d] = sum_c w[q, c] * value[idx[q, c], d]."""
-    lq, c = idx_ref.shape[1], idx_ref.shape[2]
-    s, d = value_ref.shape[1], value_ref.shape[2]
-    value = value_ref[0]
-    idx = idx_ref[0]   # [Lq, C]
-    wts = w_ref[0]     # [Lq, C]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, s), 1)
+def _gather_matmul_kernel(idx_ref, w_ref, value_ref, out_ref, *, spans, spl):
+    """One (batch*head) program: out[q, d] = sum_c w[q, c] * value[idx[q, c], d].
 
-    # statically unrolled over the C corner slots (C = L*P*4 = 64 for GRIT):
-    # Mosaic cannot dynamically slice the lane dimension, and static slices
-    # let it pipeline the 64 [Lq,S]x[S,D] MXU contractions back-to-back.
+    The C = L*P*4 corner slots are grouped BY LEVEL: each level's P*4 slots
+    accumulate (VPU compare-selects) into ONE selection matrix [Lq, S_l] that
+    contracts once with that level's slab slice on the MXU.  Versus one dot
+    per slot over the full slab this cuts MXU work 16x and VPU compares 4x
+    for GRIT's L=P=4 — the dense-contraction trick only pays if the
+    contraction stays level-local.
+    """
+    lq = idx_ref.shape[1]
+    d = value_ref.shape[2]
+    value = value_ref[0]
+    idx = idx_ref[0]   # [Lq, C] level-aligned flat indices
+    wts = w_ref[0]     # [Lq, C]
+
     acc = jnp.zeros((lq, d), jnp.float32)
-    for ci in range(c):
-        sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)  # [Lq, 1]
-        ww = jax.lax.slice_in_dim(wts, ci, ci + 1, axis=1)   # [Lq, 1]
-        onehot = jnp.where(col_ids == sel, ww, 0.0).astype(value.dtype)
-        # HIGHEST precision: fp32-true accumulation (the one-hot contraction
-        # is a selection — default bf16 MXU passes would round the values)
+    # statically unrolled (Mosaic cannot dynamically slice the lane dim, and
+    # static slices let it pipeline the per-level contractions back-to-back)
+    for lvl, (st, sl) in enumerate(spans):
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, sl), 1) + st
+        selm = jnp.zeros((lq, sl), jnp.float32)
+        for ci in range(lvl * spl, (lvl + 1) * spl):
+            sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)  # [Lq, 1]
+            ww = jax.lax.slice_in_dim(wts, ci, ci + 1, axis=1)   # [Lq, 1]
+            selm = selm + jnp.where(col_ids == sel, ww.astype(jnp.float32), 0.0)
+        vsl = jax.lax.slice_in_dim(value, st, st + sl, axis=0)   # [S_l, D]
+        # HIGHEST precision: fp32-true accumulation (the selection contraction
+        # — default bf16 MXU passes would round the values)
         acc = acc + jax.lax.dot_general(
-            onehot, value, (((1,), (0,)), ((), ())),
+            selm.astype(value.dtype), vsl, (((1,), (0,)), ((), ())),
             precision=_precision_for(value.dtype),
             preferred_element_type=jnp.float32,
         )
@@ -119,18 +147,34 @@ def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights
     w_g = w_total.transpose(0, 2, 1, 3).reshape(g, lq, c)
     value_g = value.transpose(0, 2, 1, 3).reshape(g, s, d)
 
+    starts, sizes, s_pad = _aligned_spans(spatial_shapes)
+    if s_pad != s:
+        # re-lay the slab so every level segment starts 8-row aligned
+        orig = level_start_index(spatial_shapes)
+        segs = []
+        for st_o, sz in zip(orig, sizes):
+            seg = jax.lax.slice_in_dim(value_g, st_o, st_o + sz, axis=1)
+            pad = -(-sz // 8) * 8 - sz
+            if pad:
+                seg = jnp.pad(seg, ((0, 0), (0, pad), (0, 0)))
+            segs.append(seg)
+        value_g = jnp.concatenate(segs, axis=1)
+
+    kernel = functools.partial(
+        _gather_matmul_kernel, spans=tuple(zip(starts, sizes)), spl=p * 4
+    )
     out = pl.pallas_call(
-        _gather_matmul_kernel,
+        kernel,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, lq, d), value.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * g * c * lq * s * d,
+            flops=2 * g * lq * s * d,
             bytes_accessed=4 * (value.size + idx_g.size + w_g.size + g * lq * d),
             transcendentals=0,
         ),

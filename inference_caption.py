@@ -39,8 +39,8 @@ def caption_image(image_path, checkpoint, config=None, beam_size=None):
         model, beam_size=beam, max_len=config.model.beam_len,
         bos_idx=config.model.bos_idx, eos_idx=config.model.eos_idx,
     )
-    out = generate(params, batch, 1)
-    return text_field.decode(np.asarray(out)[:, 0])[0]
+    out = generate(params, batch, 1)  # [B, T] best beam
+    return text_field.decode(np.asarray(out))[0]
 
 
 def main():
