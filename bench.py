@@ -36,7 +36,7 @@ def main():
     from grit_tpu.models.captioner import build_captioner
     from grit_tpu.utils.nested import ImageBatch
 
-    # batch 64 amortizes the latency-bound decode steps (121.8 img/s vs
+    # batch 64 amortizes the latency-bound decode steps (144.3 img/s vs
     # 78.8 at batch 16 on v5e); still a realistic eval batch for the
     # 5000-image Karpathy splits
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64

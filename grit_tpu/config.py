@@ -197,6 +197,7 @@ def default_caption_config() -> Config:
             "compute_dtype": "float32",   # "float32" | "bfloat16"
             "backbone": "swin_base_win7_384_22k",  # see swin.BACKBONES
             "msda_impl": "",              # "" = backend default (pallas on TPU)
+            "fused_win_attn": "",         # "" = auto (fused kernel on TPU)
             "use_checkpoint": False,      # Swin activation remat
             "replicate_alpha_bug": True,  # fc_alpha1-for-alpha2 quirk (ckpt parity)
             "grid_net": {"n_memories": 1, "n_layers": 3},

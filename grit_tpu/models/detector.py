@@ -68,25 +68,32 @@ class Detector(nn.Module):
         return out
 
 
-def _default_msda_impl() -> str:
-    """Pallas kernel on TPU (fastest measured); fused flat gather elsewhere
-    (the kernel needs the Mosaic TPU compiler)."""
+def _on_tpu() -> bool:
     import jax
 
     try:
-        return "pallas" if jax.default_backend() == "tpu" else "flat"
+        return jax.default_backend() == "tpu"
     except Exception:
-        return "flat"
+        return False
+
+
+def _default_msda_impl() -> str:
+    """Pallas kernel on TPU (fastest measured); fused flat gather elsewhere
+    (the kernel needs the Mosaic TPU compiler)."""
+    return "pallas" if _on_tpu() else "flat"
 
 
 def build_detector(config, dtype=None) -> Detector:
     """Assemble backbone + det module from a caption config (detector.py:65-84)."""
     from grit_tpu.models.swin import build_swin
 
+    fused = config.model.get("fused_win_attn", "")
     backbone = build_swin(
         config.model.get("backbone", "swin_base_win7_384_22k"),
         dtype=dtype,
         use_checkpoint=bool(config.model.get("use_checkpoint", False)),
+        # "" = auto: the fused VMEM-resident attention kernel on TPU
+        fused_attn=bool(fused) if fused != "" else _on_tpu(),
     )
     det_cfg = config.model.detector
     det_module = None

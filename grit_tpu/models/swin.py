@@ -80,9 +80,7 @@ class WindowAttention(nn.Module):
         b_, n, c = x.shape
         h = self.num_heads
         d = c // h
-        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
-        qkv = qkv.reshape(b_, n, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        qkv_flat = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)  # [B*nW, N, 3C]
 
         table = self.param(
             "relative_position_bias_table",
@@ -99,7 +97,7 @@ class WindowAttention(nn.Module):
         if use_fused:
             # scores + bias + shift-mask + softmax + AV fused in VMEM — never
             # materializes the [W, h, N, N] score tensor (the profiled
-            # bottleneck of the unfused path)
+            # bottleneck of the unfused path); merged-head layout throughout
             from grit_tpu.ops.window_attention import fused_window_attention
 
             if bias_mask is not None:
@@ -110,12 +108,18 @@ class WindowAttention(nn.Module):
             else:
                 combined = bias[None].astype(jnp.float32)  # [1, h, N, N]
             nb = b_ // n_windows
-            def split_w(t):
-                return t.reshape(nb, n_windows, h, n, d)
+
+            def part(i):
+                return qkv_flat[..., i * c:(i + 1) * c].reshape(nb, n_windows, n, c)
+
             out = fused_window_attention(
-                split_w(q), split_w(k), split_w(v), combined, d ** -0.5
-            ).reshape(b_, h, n, d)
+                part(0), part(1), part(2), combined, d ** -0.5, h
+            ).reshape(b_, n, c)
+            out = nn.Dense(c, name="proj", dtype=self.dtype)(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         else:
+            qkv = qkv_flat.reshape(b_, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
             attn = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k)
             attn = attn + bias[None].astype(attn.dtype)
             if bias_mask is not None:

@@ -1,26 +1,45 @@
-"""Fused window attention Pallas kernel for Swin.
+"""Fused window attention Pallas kernel for Swin (v2: block-diagonal head
+packing).
 
-Profiling the Swin tower on v5e showed the attention core dominating: XLA
-materializes the per-window score tensors (up to ~600M elements per stage-1
-block at batch 64) to HBM, then pays 4+ full passes for the relative-bias
-add, shift-mask add and softmax (`convert_reduce_fusion`/`add_add_fusion`
-ops at ~8 ms each).  This kernel computes
+Profiling the Swin tower on v5e (batch 64, 384x640) put the attention core —
+QK^T + relative bias + shift mask + softmax + AV — at 151 ms of the 360 ms
+backbone forward.  XLA materializes the per-window score tensors to HBM (up
+to ~600M elements per stage-1 block), and the 144-wide key axis lane-pads to
+256, so ~78% of that traffic is padding.  This kernel keeps scores in VMEM:
 
     out = softmax(q k^T * scale + rel_bias [+ shift_mask]) @ v
 
-with the scores living only in VMEM.
+v1 of this kernel (see docs/NOTES.md) looped a fori_loop of per-(batch,head)
+[N, d]x[d, N] dots and LOST to XLA (528 vs 466 ms e2e): with N=144, d=32 each
+dot is MXU-hostile (32-deep contraction) and the per-iteration overhead over
+~30k tiny units dominated.  v2 fixes the arithmetic shape instead of the
+schedule:
 
-Layout/grid design (the first cut was SLOWER than XLA because the combined
-[h, N, N] bias block was re-fetched for every one of B*nW programs):
-q/k/v are reshaped to **window-kind-major** [nW, B, h, N, d] and the grid is
-(nW, B/BBLK) with the batch as the fastest axis — consecutive grid steps
-keep the same bias block index, so Pallas skips its DMA and each of the nW
-bias blocks crosses HBM exactly once; BBLK batch rows per program amortize
-program overhead.  Scores accumulate in fp32; the probability matrix is cast
-back to the input dtype for the AV matmul.
+**Block-diagonal head packing.**  For a group of g heads (g*d = 128, the MXU
+contraction depth), tile the window's q [N, g*d] g times along rows and mask
+row-block j to head j's d-slice.  One dot
+
+    Q_bd [g*N, g*d] @ K^T [g*d, N]  ->  scores [g*N, N]
+
+then yields EVERY head's [N, N] scores stacked along rows — the zero blocks
+in Q_bd kill the cross-head terms.  The AV dot [g*N, N] @ V [N, g*d]
+computes all-head values for each row-block; a mask+sum over the g row
+blocks extracts the diagonal.  FLOPs inflate by g, but MXU utilization rises
+by more than g (full 128-deep contraction, 4x the rows), so the dots run
+FASTER than the "minimal" tiny ones — and the score tensor never leaves
+VMEM.
+
+Layout: qkv stay in the natural merged-head [B, nW, N, C] layout (head h =
+lanes [h*d, (h+1)*d)) — no 5-D head-split transposes at all.  Grid =
+(window_kind, head_group, batch_block) with batch fastest: the combined
+[kind, g, N, N] bias block index is constant across the inner batch steps,
+so Pallas DMAs each bias block exactly once.
 
 Backward falls back to autodiff of the unfused formulation via custom_vjp
 (inference is the headline path; training can remat).
+
+Replaces the reference's in-XLA-graph window attention
+(models/common/swin_model.py:146-187); math parity with `_unfused` below.
 """
 
 from __future__ import annotations
@@ -33,118 +52,134 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, hblk, bblk):
-    # sequential fori_loop (NOT an unrolled python loop: unrolling kept every
-    # iteration's [N, N] fp32 intermediates live and blew the VMEM stack)
-    def body(idx, _):
-        bb = idx // hblk
-        hh = idx % hblk
-        q = q_ref[0, bb, hh].astype(jnp.float32) * scale      # [N, d]
-        k = k_ref[0, bb, hh].astype(jnp.float32)
+def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, g, d, bblk):
+    """One (kind, head-group, batch-block) program.
+
+    q/k/v/out refs: [bblk, 1, N, g*d]; bias ref: [1, g, N, N] fp32.
+    """
+    n = q_ref.shape[2]
+    gd = g * d
+    bias = bias_ref[0].reshape(g * n, n)  # row-block j = head j's [N, N] bias
+
+    # row-block / lane-block masks for the block-diagonal packing
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 0) // n
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
+    qmask = row_blk == col_blk
+
+    for i in range(bblk):  # static unroll; Mosaic pipelines across programs
+        q = q_ref[i, 0]    # [N, g*d]
+        k = k_ref[i, 0]
+        v = v_ref[i, 0]
+        q_bd = jnp.where(
+            qmask,
+            jnp.broadcast_to(q[None], (g, n, gd)).reshape(g * n, gd),
+            jnp.zeros((), q.dtype),
+        )
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q_bd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                     # [N, N]
-        s = s + bias_ref[0, hh]
+        )  # [g*N, N] — per-head scores stacked along rows
+        s = s * scale + bias
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jnp.dot(
-            p.astype(v_ref.dtype), v_ref[0, bb, hh],
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        out_ref[0, bb, hh] = out.astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, bblk * hblk, body, 0)
+        )  # [g*N, g*d]; row-block j valid only in lane-block j
+        o = jnp.where(qmask, o, 0.0).reshape(g, n, gd).sum(0)
+        out_ref[i, 0] = o.astype(out_ref.dtype)
 
 
-def _pick_blocks(b: int, h: int, n: int) -> tuple[int, int]:
-    """(bblk, hblk) such that the lane-PADDED qkv/out blocks fit VMEM.
-
-    Mosaic pads the last dim to 128 lanes, so a [*, N, d=32] block occupies
-    4x its logical bytes; budget ~5 MB across the 4 double-buffered blocks.
-    """
-    budget_rows = (5 << 20) // (8 * n * 128 * 2)  # bblk * hblk upper bound
-    hblk = h
-    while hblk > 1 and hblk > budget_rows:
-        hblk //= 2
-    bblk = max(1, min(8, budget_rows // hblk))
+def _pick_bblk(b: int, n: int, gd: int, itemsize: int) -> int:
+    """Largest batch block whose q/k/v/out VMEM blocks stay under budget."""
+    per_image = 4 * n * max(gd, 128) * itemsize  # q, k, v, out (lane-padded)
+    budget = 6 << 20  # ~6 MB across the double-buffered blocks
+    bblk = max(1, min(8, budget // (2 * per_image)))
     while b % bblk:
         bblk -= 1
-    return bblk, hblk
+    return bblk
 
 
-def _forward(q, k, v, bias, scale):
-    """q, k, v: [B, nW, h, N, d]; bias: [M, h, N, N] (M == nW or 1)."""
-    b, nw, h, n, d = q.shape
+def _forward(q, k, v, bias, scale, num_heads):
+    """q, k, v: [B, nW, N, C] merged-head; bias: [M, h, N, N] (M == nW or 1)."""
+    b, nw, n, c = q.shape
+    h = num_heads
+    d = c // h
     m = bias.shape[0]
-    bblk, hblk = _pick_blocks(b, h, n)
+    g = max(1, min(h, 128 // max(d, 1)))
+    while h % g:
+        g -= 1
+    gd = g * d
 
-    def to_kind_major(x):
-        return x.transpose(1, 0, 2, 3, 4)  # [nW, B, h, N, d]
+    bblk = _pick_bblk(b, n, gd, q.dtype.itemsize)
+    kernel = functools.partial(_kernel, scale=scale, g=g, d=d, bblk=bblk)
 
-    qt, kt, vt = to_kind_major(q), to_kind_major(k), to_kind_major(v)
-    kernel = functools.partial(_kernel, scale=scale, hblk=hblk, bblk=bblk)
     qkv_spec = pl.BlockSpec(
-        (1, bblk, hblk, n, d), lambda i, j, kk: (i, j, kk, 0, 0),
+        (bblk, 1, n, gd),
+        lambda w, hg, bb: (bb, w, 0, hg),
+        memory_space=pltpu.VMEM,
+    )
+    bias_spec = pl.BlockSpec(
+        (1, g, n, n),
+        lambda w, hg, bb, _m=m: (w % _m, hg, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(nw, b // bblk, h // hblk),
-        in_specs=[
-            qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((1, hblk, n, n), lambda i, j, kk, _m=m: (i % _m, kk, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bblk, hblk, n, d), lambda i, j, kk: (i, j, kk, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((nw, b, h, n, d), q.dtype),
+        grid=(nw, h // g, b // bblk),  # batch fastest -> bias DMA'd once/kind
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nw, n, c), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * nw * h * n * n * d,
+            flops=4 * b * nw * g * h * n * n * d,
             bytes_accessed=(4 * q.size + m * h * n * n) * q.dtype.itemsize,
             transcendentals=b * nw * h * n * n,
         ),
-    )(qt, kt, vt, bias)
-    return out.transpose(1, 0, 2, 3, 4)  # back to [B, nW, h, N, d]
+    )(q, k, v, bias.astype(jnp.float32))
+    return out
 
 
-def _unfused(q, k, v, bias, scale):
-    b, nw, h, n, d = q.shape
-    m = bias.shape[0]
+def _unfused(q, k, v, bias, scale, num_heads):
+    """Reference formulation on the merged-head layout (fp32 scores)."""
+    b, nw, n, c = q.shape
+    h = num_heads
+    d = c // h
+
+    def split(x):
+        return x.reshape(b, nw, n, h, d)
+
     s = jnp.einsum(
-        "bwhqd,bwhkd->bwhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32)
+        "bwqhd,bwkhd->bwhqk",
+        split(q).astype(jnp.float32) * scale,
+        split(k).astype(jnp.float32),
     )
     s = s + bias[None]  # [1, M, h, N, N] broadcasts over batch when M == nW
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-    return jnp.einsum("bwhqk,bwhkd->bwhqd", p, v)
+    out = jnp.einsum("bwhqk,bwkhd->bwqhd", p, split(v))
+    return out.reshape(b, nw, n, c)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_window_attention(q, k, v, bias, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_window_attention(q, k, v, bias, scale, num_heads):
     """softmax(q k^T * scale + bias[window kind]) @ v — fused on TPU.
 
-    q, k, v: [B, nW, h, N, d]; bias: [M, h, N, N] with M == nW or M == 1.
+    q, k, v: [B, nW, N, C] merged-head; bias: [M, h, N, N], M == nW or 1.
     """
-    return _forward(q, k, v, bias, scale)
+    return _forward(q, k, v, bias, scale, num_heads)
 
 
-def _fwd(q, k, v, bias, scale):
-    return _forward(q, k, v, bias, scale), (q, k, v, bias)
+def _fwd(q, k, v, bias, scale, num_heads):
+    return _forward(q, k, v, bias, scale, num_heads), (q, k, v, bias)
 
 
-def _bwd(scale, res, g):
+def _bwd(scale, num_heads, res, gout):
     q, k, v, bias = res
     out, vjp = jax.vjp(
-        lambda q_, k_, v_, b_: _unfused(q_, k_, v_, b_, scale), q, k, v, bias
+        lambda q_, k_, v_, b_: _unfused(q_, k_, v_, b_, scale, num_heads),
+        q, k, v, bias,
     )
-    dq, dk, dv, dbias = vjp(g)
-    if bias.shape[0] == 1:
-        dbias = dbias  # already reduced by broadcasting rules in vjp
-    return dq, dk, dv, dbias
+    return vjp(gout)
 
 
 fused_window_attention.defvjp(_fwd, _bwd)

@@ -22,37 +22,42 @@ def _interp_patch():
 
 
 @pytest.mark.parametrize("shape", [
-    (4, 6, 2, 16, 8, 6),   # M == nW (shifted blocks)
-    (2, 3, 8, 16, 8, 1),   # M == 1 (non-shifted)
+    # (B, nW, h, N, d, M) — M == nW (shifted blocks) or 1 (non-shifted)
+    (4, 6, 2, 16, 8, 6),
+    (2, 3, 8, 16, 8, 1),
     (6, 2, 4, 8, 4, 2),
+    (3, 2, 4, 16, 32, 2),   # gd == 128: single-group packing
+    (2, 2, 8, 16, 32, 1),   # h > g: multiple head groups
 ])
 def test_fused_matches_unfused(shape):
     b, nw, h, n, d, m = shape
+    c = h * d
     ks = jax.random.split(jax.random.PRNGKey(b), 4)
-    q = jax.random.normal(ks[0], (b, nw, h, n, d))
-    k = jax.random.normal(ks[1], (b, nw, h, n, d))
-    v = jax.random.normal(ks[2], (b, nw, h, n, d))
+    q = jax.random.normal(ks[0], (b, nw, n, c))
+    k = jax.random.normal(ks[1], (b, nw, n, c))
+    v = jax.random.normal(ks[2], (b, nw, n, c))
     bias = jax.random.normal(ks[3], (m, h, n, n))
-    ref = wa._unfused(q, k, v, bias, 0.3)
+    ref = wa._unfused(q, k, v, bias, 0.3, h)
     with _interp_patch():
-        out = wa.fused_window_attention(q, k, v, bias, 0.3)
+        out = wa.fused_window_attention(q, k, v, bias, 0.3, h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 def test_custom_vjp_matches_unfused_grads():
     b, nw, h, n, d, m = 2, 2, 2, 8, 4, 2
+    c = h * d
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    q = jax.random.normal(ks[0], (b, nw, h, n, d))
-    k = jax.random.normal(ks[1], (b, nw, h, n, d))
-    v = jax.random.normal(ks[2], (b, nw, h, n, d))
+    q = jax.random.normal(ks[0], (b, nw, n, c))
+    k = jax.random.normal(ks[1], (b, nw, n, c))
+    v = jax.random.normal(ks[2], (b, nw, n, c))
     bias = jax.random.normal(ks[3], (m, h, n, n))
 
     with _interp_patch():
         g_fused = jax.grad(
-            lambda q_: jnp.sum(wa.fused_window_attention(q_, k, v, bias, 0.3) ** 2)
+            lambda q_: jnp.sum(wa.fused_window_attention(q_, k, v, bias, 0.3, h) ** 2)
         )(q)
     g_ref = jax.grad(
-        lambda q_: jnp.sum(wa._unfused(q_, k, v, bias, 0.3) ** 2)
+        lambda q_: jnp.sum(wa._unfused(q_, k, v, bias, 0.3, h) ** 2)
     )(q)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
 
