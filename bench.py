@@ -36,10 +36,11 @@ def main():
     from grit_tpu.models.captioner import build_captioner
     from grit_tpu.utils.nested import ImageBatch
 
-    # batch 64 amortizes the latency-bound decode steps (144.3 img/s vs
-    # 78.8 at batch 16 on v5e); still a realistic eval batch for the
+    # batch 128 amortizes the latency-bound decode steps (147.6 img/s vs
+    # 144.3 at batch 64, 78.8 at batch 16 on v5e; 256 regresses to 143.3);
+    # still a realistic eval batch for the
     # 5000-image Karpathy splits
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     beam = 5
     max_len = 20
 
