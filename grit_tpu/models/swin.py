@@ -90,11 +90,14 @@ class WindowAttention(nn.Module):
         rel_idx = relative_position_index((self.window, self.window))  # [N, N]
         bias = table[rel_idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
 
-        # fused kernel only on the deterministic (inference/eval) path: its
-        # custom_vjp backward remats the unfused forward, which measured
-        # slightly SLOWER end-to-end for training (619.6 vs 600.9 ms XE step
-        # at b16) — training keeps the plain XLA formulation
-        use_fused = self.fused and n_windows is not None and deterministic
+        # the kernel pair (fused fwd + fused flash-style bwd) covers training
+        # too; attention dropout would need the probability matrix, so fall
+        # back to the plain XLA formulation if it is ever enabled (GRIT runs
+        # attn_drop=0, swin_model.py:697)
+        use_fused = (
+            self.fused and n_windows is not None
+            and (deterministic or self.attn_drop == 0.0)
+        )
         if use_fused:
             # scores + bias + shift-mask + softmax + AV fused in VMEM — never
             # materializes the [W, h, N, N] score tensor (the profiled

@@ -140,6 +140,138 @@ def _forward(q, k, v, bias, scale, num_heads):
     return out
 
 
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, dout_ref, bias_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref,
+    *, scale, g, d, bblk,
+):
+    """Backward program for one (kind, head-group, batch-block).
+
+    Recomputes P in VMEM, then (per image):
+      dV   = contract(P,  dO_bd)   — block-diag dO lands per-head blocks
+      dP   = dO_bd @ V^T
+      dS   = P * (dP - rowsum(dP * P))
+      dQ   = diag-extract((dS*scale) @ K)
+      dK   = contract(dS*scale, Q_bd)
+      dBias += dS (summed over the batch; per window kind)
+    The contract-over-rows dots against a block-diagonal operand produce the
+    per-head blocks directly — no extraction needed for dK/dV.
+    """
+    n = q_ref.shape[2]
+    gd = g * d
+    bias = bias_ref[0].reshape(g * n, n)
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 0) // n
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
+    qmask = row_blk == col_blk
+
+    bb = pl.program_id(2)
+
+    @pl.when(bb == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    db_acc = jnp.zeros((g * n, n), jnp.float32)
+    for i in range(bblk):
+        q = q_ref[i, 0]
+        k = k_ref[i, 0]
+        v = v_ref[i, 0]
+        do = dout_ref[i, 0]
+
+        def bd(x):  # [N, gd] -> block-diagonal [g*N, gd]
+            return jnp.where(
+                qmask,
+                jnp.broadcast_to(x[None], (g, n, gd)).reshape(g * n, gd),
+                jnp.zeros((), x.dtype),
+            )
+
+        q_bd = bd(q)
+        do_bd = bd(do)
+        s = jax.lax.dot_general(
+            q_bd, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)          # [g*N, N]
+
+        dv = jax.lax.dot_general(                            # [N, gd]
+            p.astype(do_bd.dtype), do_bd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(                            # [g*N, N]
+            do_bd, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        db_acc = db_acc + ds
+        ds_s = (ds * scale).astype(k.dtype)
+        dq_bd = jax.lax.dot_general(                         # [g*N, gd]
+            ds_s, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq = jnp.where(qmask, dq_bd, 0.0).reshape(g, n, gd).sum(0)
+        dk = jax.lax.dot_general(                            # [N, gd]
+            ds_s, q_bd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[i, 0] = dq.astype(dq_ref.dtype)
+        dk_ref[i, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[i, 0] = dv.astype(dv_ref.dtype)
+
+    dbias_ref[...] = dbias_ref[...] + db_acc.reshape(1, g, n, n)
+
+
+def _backward(q, k, v, bias, scale, num_heads, dout):
+    b, nw, n, c = q.shape
+    h = num_heads
+    d = c // h
+    m = bias.shape[0]
+    g = max(1, min(h, 128 // max(d, 1)))
+    while h % g:
+        g -= 1
+    gd = g * d
+
+    bblk = _pick_bblk(b, n, gd, q.dtype.itemsize)
+    kernel = functools.partial(_bwd_kernel, scale=scale, g=g, d=d, bblk=bblk)
+    qkv_spec = pl.BlockSpec(
+        (bblk, 1, n, gd),
+        lambda w, hg, bb: (bb, w, 0, hg),
+        memory_space=pltpu.VMEM,
+    )
+    bias_spec = pl.BlockSpec(
+        (1, g, n, n),
+        lambda w, hg, bb, _m=m: (w % _m, hg, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dbias_spec = pl.BlockSpec(
+        (1, g, n, n),
+        lambda w, hg, bb: (w, hg, 0, 0),  # revisited across the inner bb steps
+        memory_space=pltpu.VMEM,
+    )
+    dq, dk, dv, dbias_w = pl.pallas_call(
+        kernel,
+        grid=(nw, h // g, b // bblk),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec, dbias_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nw, n, c), q.dtype),
+            jax.ShapeDtypeStruct((b, nw, n, c), k.dtype),
+            jax.ShapeDtypeStruct((b, nw, n, c), v.dtype),
+            jax.ShapeDtypeStruct((nw, h, n, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * nw * g * h * n * n * d,
+            bytes_accessed=(8 * q.size + 2 * nw * h * n * n) * q.dtype.itemsize,
+            transcendentals=b * nw * h * n * n,
+        ),
+    )(q, k, v, dout, bias.astype(jnp.float32))
+    if m == 1:
+        dbias = dbias_w.sum(0, keepdims=True)
+    else:
+        dbias = dbias_w
+    return dq, dk, dv, dbias.astype(bias.dtype)
+
+
 def _unfused(q, k, v, bias, scale, num_heads):
     """Reference formulation on the merged-head layout (fp32 scores)."""
     b, nw, n, c = q.shape
@@ -175,11 +307,7 @@ def _fwd(q, k, v, bias, scale, num_heads):
 
 def _bwd(scale, num_heads, res, gout):
     q, k, v, bias = res
-    out, vjp = jax.vjp(
-        lambda q_, k_, v_, b_: _unfused(q_, k_, v_, b_, scale, num_heads),
-        q, k, v, bias,
-    )
-    return vjp(gout)
+    return _backward(q, k, v, bias, scale, num_heads, gout)
 
 
 fused_window_attention.defvjp(_fwd, _bwd)

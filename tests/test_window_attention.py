@@ -43,8 +43,14 @@ def test_fused_matches_unfused(shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_custom_vjp_matches_unfused_grads():
-    b, nw, h, n, d, m = 2, 2, 2, 8, 4, 2
+@pytest.mark.parametrize("shape", [
+    (2, 2, 2, 8, 4, 2),
+    (2, 2, 8, 16, 32, 1),   # multiple head groups, shared bias
+    (3, 2, 4, 16, 32, 2),   # single group, per-kind bias
+])
+def test_custom_vjp_matches_unfused_grads(shape):
+    """Fused backward kernel vs autodiff of the unfused form — all 4 grads."""
+    b, nw, h, n, d, m = shape
     c = h * d
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
     q = jax.random.normal(ks[0], (b, nw, n, c))
@@ -52,14 +58,20 @@ def test_custom_vjp_matches_unfused_grads():
     v = jax.random.normal(ks[2], (b, nw, n, c))
     bias = jax.random.normal(ks[3], (m, h, n, n))
 
+    def loss_fused(q_, k_, v_, b_):
+        return jnp.sum(wa.fused_window_attention(q_, k_, v_, b_, 0.3, h) ** 2)
+
+    def loss_ref(q_, k_, v_, b_):
+        return jnp.sum(wa._unfused(q_, k_, v_, b_, 0.3, h) ** 2)
+
     with _interp_patch():
-        g_fused = jax.grad(
-            lambda q_: jnp.sum(wa.fused_window_attention(q_, k, v, bias, 0.3, h) ** 2)
-        )(q)
-    g_ref = jax.grad(
-        lambda q_: jnp.sum(wa._unfused(q_, k, v, bias, 0.3, h) ** 2)
-    )(q)
-    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, gf, gr in zip("qkvb", g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
 
 
 def test_swin_model_fused_flag_parity():
