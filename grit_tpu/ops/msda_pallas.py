@@ -21,9 +21,17 @@ For GRIT's sizes (Lq=150, L=4, P=4) the op is ~1% of a forward pass either
 way; the XLA fused-gather path (grit_tpu.ops.msda) stays the default and
 this kernel is selected with ``impl='pallas'``.
 
-Gradients: ``jax.custom_vjp`` whose backward differentiates the fused-XLA
-formulation — no hand-written col2im kernels (the CUDA ext needs five,
-cuh:302-921).
+Gradients: the index/weight preparation is plain differentiable XLA, so only
+the gather core carries a ``jax.custom_vjp``.  Its backward is a second
+Pallas kernel built from the SAME level-local selection matrices:
+
+    dValue_l = selm_l^T @ dOut        (contract over queries — no scatter!)
+    dW[:,ci] = rowsum(1[col==idx_ci] * (dOut @ V_l^T))
+
+— the selection-matmul trick transposes cleanly, replacing XLA's scatter-add
+lowering of the gather transpose.  dLoc/dAttn then flow through the XLA
+prep by ordinary autodiff.  (The CUDA ext needs five hand-written col2im
+backward kernels, cuh:302-921.)
 """
 
 from __future__ import annotations
@@ -134,6 +142,120 @@ def _gather_matmul_kernel(idx_ref, w_ref, value_ref, out_ref, *, spans, spl):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _gather_bwd_kernel(
+    idx_ref, w_ref, value_ref, dout_ref, dw_ref, dval_ref, *, spans, spl
+):
+    """Backward program for one (batch*head): dW and dValue from dOut.
+
+    Rebuilds each level's selection matrix and transposes the contraction:
+    dValue_l = selm_l^T @ dOut (queries contract away — no scatter), and
+    dW[:, ci] picks its column out of dOut @ V_l^T with the same iota
+    compare used to build selm.
+    """
+    lq, c = idx_ref.shape[1], idx_ref.shape[2]
+    value = value_ref[0]
+    idx = idx_ref[0]
+    dout = dout_ref[0]                     # [Lq, D]
+    wts = w_ref[0]
+
+    dval_ref[0] = jnp.zeros(dval_ref.shape[1:], dval_ref.dtype)  # pad rows stay 0
+    dw_lane = jax.lax.broadcasted_iota(jnp.int32, (lq, c), 1)
+    dw = jnp.zeros((lq, c), jnp.float32)
+    for lvl, (st, sl) in enumerate(spans):
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, sl), 1) + st
+        selm = jnp.zeros((lq, sl), jnp.float32)
+        for ci in range(lvl * spl, (lvl + 1) * spl):
+            sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)
+            ww = jax.lax.slice_in_dim(wts, ci, ci + 1, axis=1)
+            selm = selm + jnp.where(col_ids == sel, ww.astype(jnp.float32), 0.0)
+        vsl = jax.lax.slice_in_dim(value, st, st + sl, axis=0)  # [S_l, D]
+        dval_ref[0, st:st + sl] = jax.lax.dot_general(
+            selm.astype(dout.dtype), dout, (((0,), (0,)), ((), ())),
+            precision=_precision_for(value.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dval_ref.dtype)                                # [S_l, D]
+        dov = jax.lax.dot_general(
+            dout, vsl, (((1,), (1,)), ((), ())),
+            precision=_precision_for(value.dtype),
+            preferred_element_type=jnp.float32,
+        )                                                       # [Lq, S_l]
+        for ci in range(lvl * spl, (lvl + 1) * spl):
+            sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)
+            dw_ci = jnp.sum(
+                jnp.where(col_ids == sel, dov, 0.0), axis=1, keepdims=True
+            )                                                   # [Lq, 1]
+            dw = dw + jnp.where(dw_lane == ci, dw_ci, 0.0)
+    dw_ref[0] = dw.astype(dw_ref.dtype)
+
+
+def _gather_call(idx_g, w_g, value_g, spans, spl):
+    g, lq, c = idx_g.shape
+    s_pad, d = value_g.shape[1], value_g.shape[2]
+    s = sum(sz for _, sz in spans)
+    kernel = functools.partial(_gather_matmul_kernel, spans=spans, spl=spl)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, lq, d), value_g.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * lq * s * d,
+            bytes_accessed=4 * (value_g.size + idx_g.size + w_g.size + g * lq * d),
+            transcendentals=0,
+        ),
+    )(idx_g, w_g, value_g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_op(idx_g, w_g, value_g, spans, spl):
+    return _gather_call(idx_g, w_g, value_g, spans, spl)
+
+
+def _gather_fwd(idx_g, w_g, value_g, spans, spl):
+    out = _gather_call(idx_g, w_g, value_g, spans, spl)
+    return out, (idx_g, w_g, value_g)
+
+
+def _gather_bwd(spans, spl, residuals, dout):
+    idx_g, w_g, value_g = residuals
+    g, lq, c = idx_g.shape
+    s_pad, d = value_g.shape[1], value_g.shape[2]
+    kernel = functools.partial(_gather_bwd_kernel, spans=spans, spl=spl)
+    dw, dval = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, lq, c), w_g.dtype),
+            jax.ShapeDtypeStruct((g, s_pad, d), value_g.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g * lq * sum(sz for _, sz in spans) * d,
+            bytes_accessed=8 * (value_g.size + idx_g.size + w_g.size),
+            transcendentals=0,
+        ),
+    )(idx_g, w_g, value_g, dout)
+    didx = np.zeros(idx_g.shape, jax.dtypes.float0)
+    return didx, dw, dval
+
+
+_gather_op.defvjp(_gather_fwd, _gather_bwd)
+
+
 def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights):
     n, s, m, d = value.shape
     _, lq, _, L, p, _ = sampling_locations.shape
@@ -160,45 +282,11 @@ def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights
             segs.append(seg)
         value_g = jnp.concatenate(segs, axis=1)
 
-    kernel = functools.partial(
-        _gather_matmul_kernel, spans=tuple(zip(starts, sizes)), spl=p * 4
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, lq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, lq, d), value.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * g * lq * s * d,
-            bytes_accessed=4 * (value.size + idx_g.size + w_g.size + g * lq * d),
-            transcendentals=0,
-        ),
-    )(idx_g, w_g, value_g)
+    out = _gather_op(idx_g, w_g, value_g, tuple(zip(starts, sizes)), p * 4)
     return out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(n, lq, m * d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_weights):
-    """Pallas forward; backward = autodiff of the fused-XLA formulation."""
+    """Pallas forward; backward = Pallas selector-transpose kernels (dW/dValue)
+    chained with XLA autodiff of the index/weight prep (dLoc/dAttn)."""
     return _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights)
-
-
-def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
-    out = _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights)
-    return out, (value, sampling_locations, attention_weights)
-
-
-def _bwd(spatial_shapes, residuals, g):
-    value, loc, attn = residuals
-    _, vjp = jax.vjp(
-        lambda v, l, a: _msda_fused_xla(v, spatial_shapes, l, a), value, loc, attn
-    )
-    return vjp(g)
-
-
-ms_deform_attn_pallas.defvjp(_fwd, _bwd)

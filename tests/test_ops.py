@@ -163,7 +163,8 @@ class TestMSDA:
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
     def test_pallas_kernel_grads(self, msda_inputs):
-        """custom_vjp backward (fused-XLA autodiff) matches direct autodiff."""
+        """Pallas selector-transpose backward matches direct autodiff of the
+        XLA formulation for ALL of (value, loc, attn)."""
         from unittest import mock
 
         from jax.experimental import pallas as pl
@@ -179,12 +180,20 @@ class TestMSDA:
 
         with mock.patch.object(mp.pl, "pallas_call", interp):
             g_p = jax.grad(
-                lambda v: jnp.sum(mp.ms_deform_attn_pallas(v, shapes, loc, w) ** 2)
-            )(value)
+                lambda v, l, a: jnp.sum(
+                    mp.ms_deform_attn_pallas(v, shapes, l, a) ** 2
+                ),
+                argnums=(0, 1, 2),
+            )(value, loc, w)
         g_x = jax.grad(
-            lambda v: jnp.sum(ms_deform_attn(v, shapes, loc, w) ** 2)
-        )(value)
-        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
+            lambda v, l, a: jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2),
+            argnums=(0, 1, 2),
+        )(value, loc, w)
+        for name, gp, gx in zip(["value", "loc", "attn"], g_p, g_x):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-5,
+                err_msg=f"grad mismatch for {name}",
+            )
 
     def test_grit_sizes_smoke(self):
         # GRIT production sizes: L=4 levels of a 384x640 image, M=8, D=64, Lq=150
