@@ -55,7 +55,16 @@ def make_mesh(
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    need = n_data * n_model
+    if len(devices) < need:
+        raise ValueError(
+            f"make_mesh needs {need} devices (data={n_data} x model={n_model}) "
+            f"but only {len(devices)} are visible: {devices}. "
+            "To fake an N-device mesh on CPU set JAX_PLATFORMS=cpu and "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N before jax "
+            "initializes its backend."
+        )
+    devs = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(devs, ("data", "model"))
 
 
