@@ -59,6 +59,30 @@ def frozen_mask(params: Any, frozen_predicate) -> Any:
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+def swin_frozen_stages_predicate(frozen_stages: int):
+    """Param-path predicate for the reference's Swin stage freezing.
+
+    Reference ``_freeze_stages`` (swin_model.py:622-637) with
+    ``coco_config.yaml:29`` (frozen_stages=2): ``fs >= 0`` freezes the patch
+    embed; ``fs >= 2`` freezes stages ``0 .. fs-2`` (GRIT's loop is
+    ``range(0, fs - 1)`` — one stage fewer than stock mmdet Swin).  Matches
+    paths under the captioner's ``detector/backbone`` subtree (our Swin
+    names: ``patch_embed_proj``, ``patch_embed_norm``, ``layers_{i}``).
+    """
+
+    def pred(path: str) -> bool:
+        if "backbone" not in path:
+            return False
+        wrapped = "/" + path + "/"
+        if frozen_stages >= 0 and "patch_embed" in path:
+            return True
+        return any(
+            f"/layers_{i}/" in wrapped for i in range(max(0, frozen_stages - 1))
+        )
+
+    return pred
+
+
 def cosine_lr_schedule(
     global_steps,
     *,

@@ -94,6 +94,10 @@ def build_detector(config, dtype=None) -> Detector:
         use_checkpoint=bool(config.model.get("use_checkpoint", False)),
         # "" = auto: the fused VMEM-resident attention kernel on TPU
         fused_attn=bool(fused) if fused != "" else _on_tpu(),
+        # coco_config.yaml:29 (=2): patch embed + stage 0 frozen during
+        # finetune (swin_model.py:622-637); optimizer-side mask in
+        # engine/optim.py::swin_frozen_stages_predicate matches this
+        frozen_stages=int(config.model.get("frozen_stages", -1)),
     )
     det_cfg = config.model.detector
     det_module = None

@@ -273,6 +273,13 @@ class SwinTransformer(nn.Module):
     pos_dim: int = 1024
     use_checkpoint: bool = False
     fused_attn: bool = False
+    # Reference _freeze_stages (swin_model.py:622-637, coco_config.yaml:29):
+    # fs >= 0 freezes patch embed; fs >= 2 freezes stages 0..fs-2 (GRIT's
+    # loop is ``range(0, fs - 1)`` — one stage fewer than stock mmdet Swin)
+    # and runs them in eval mode (dropout/drop-path off).  Here a
+    # ``stop_gradient`` at each frozen boundary both blocks the gradients and
+    # lets XLA skip the whole backward computation through those stages.
+    frozen_stages: int = -1
     dtype: Any = None
 
     @property
@@ -292,7 +299,12 @@ class SwinTransformer(nn.Module):
         wh, ww = x.shape[1], x.shape[2]
         x = x.reshape(b, wh * ww, self.embed_dim)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="patch_embed_norm")(x)
-        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+        # pos_drop: eval mode when fs >= 2 (swin_model.py:631-632)
+        x = nn.Dropout(self.drop_rate)(
+            x, deterministic=deterministic or self.frozen_stages >= 2
+        )
 
         total = sum(self.depths)
         dpr = list(np.linspace(0, self.drop_path_rate, total))
@@ -303,6 +315,7 @@ class SwinTransformer(nn.Module):
             last = stage == len(self.depths) - 1
             out_dim = self.pos_dim if last else 2 * dim
             start = sum(self.depths[:stage])
+            stage_frozen = stage < self.frozen_stages - 1
             x_out, x, new_hw = BasicLayer(
                 dim=dim,
                 out_dim=out_dim,
@@ -316,7 +329,12 @@ class SwinTransformer(nn.Module):
                 fused_attn=self.fused_attn,
                 dtype=self.dtype,
                 name=f"layers_{stage}",
-            )(x, hw, deterministic=deterministic)
+            )(x, hw, deterministic=deterministic or stage_frozen)
+            if stage_frozen:
+                # frozen stage incl. its PatchMerging (reference freezes the
+                # whole self.layers[i] module) — backward stops here
+                x_out = jax.lax.stop_gradient(x_out)
+                x = jax.lax.stop_gradient(x)
             if stage > 0:
                 outs.append(x_out.reshape(b, hw[0], hw[1], dim))
             hw = new_hw

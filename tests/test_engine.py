@@ -153,3 +153,79 @@ class TestSCSTRescoring:
         assert arr[1, 0, 2] == 0.0 and arr[1, 0, 3] == 0.0
         # EOS step itself is included
         assert arr[1, 0, 1] != 0.0
+
+
+class TestFrozenStages:
+    """Reference _freeze_stages parity (swin_model.py:622-637, config fs=2):
+    patch embed + Swin stages < fs-1 are frozen during finetune; deeper
+    stages and the caption stack keep training."""
+
+    def _setup(self):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tiny_models import tiny_captioner
+        from grit_tpu.utils.nested import ImageBatch
+
+        model = tiny_captioner(frozen_stages=2)
+        images = ImageBatch(
+            jnp.linspace(0, 1, 2 * 64 * 64 * 3).reshape(2, 64, 64, 3),
+            jnp.zeros((2, 64, 64), bool),
+        )
+        caps = jnp.asarray([[2, 5, 6, 3]] * 2)
+        params = model.init(jax.random.PRNGKey(0), images, caps)
+        return model, params, images, caps
+
+    def test_stop_gradient_zeroes_frozen_grads(self):
+        """The Swin-side stop_gradient alone yields exactly-zero grads for
+        patch_embed + stage 0 — backward never enters those stages."""
+        model, params, images, caps = self._setup()
+
+        def loss(p):
+            out = model.apply(p, images, caps, deterministic=True)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(params)
+        bb = g["params"]["detector"]["backbone"]
+        for sub in ("patch_embed_proj", "patch_embed_norm", "layers_0"):
+            leaves = jax.tree_util.tree_leaves(bb[sub])
+            assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves), sub
+        # stage 1 (>= fs-1) must receive real gradients
+        assert any(
+            float(jnp.abs(l).max()) > 0
+            for l in jax.tree_util.tree_leaves(bb["layers_1"])
+        )
+
+    def test_ft_xe_step_leaves_frozen_params_bit_unchanged(self):
+        from grit_tpu.engine.optim import swin_frozen_stages_predicate
+
+        model, params, images, caps = self._setup()
+        tx, labels = build_optimizer(params)
+        freeze = frozen_mask(params, swin_frozen_stages_predicate(2))
+        state = TrainState.create(params, tx)
+        sched = dict(num_epochs=2, num_its_per_epoch=10, init_lr=1e-2,
+                     min_lr=1e-3, warmup_init_lr=1e-3)
+        step = make_xe_train_step(
+            model, tx, labels, pad_idx=1, sched_cfg=sched, backbone_lr=1e-2,
+            freeze=freeze, donate=False,
+        )
+        state, _ = step(state, {"samples": images, "captions": caps},
+                        jax.random.PRNGKey(0))
+        bb0 = params["params"]["detector"]["backbone"]
+        bb1 = state.params["params"]["detector"]["backbone"]
+        for sub in ("patch_embed_proj", "patch_embed_norm", "layers_0"):
+            for a, b in zip(jax.tree_util.tree_leaves(bb0[sub]),
+                            jax.tree_util.tree_leaves(bb1[sub])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        moved = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(jax.tree_util.tree_leaves(bb0["layers_1"]),
+                            jax.tree_util.tree_leaves(bb1["layers_1"]))
+        )
+        assert moved > 0
+        cap_moved = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(params["params"]["cap_generator"]),
+                jax.tree_util.tree_leaves(state.params["params"]["cap_generator"]),
+            )
+        )
+        assert cap_moved > 0

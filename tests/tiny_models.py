@@ -11,10 +11,10 @@ MAXLEN = 12
 PAD, BOS, EOS = 1, 2, 3
 
 
-def tiny_captioner() -> GRITCaptioner:
+def tiny_captioner(frozen_stages: int = -1) -> GRITCaptioner:
     backbone = SwinTransformer(
         embed_dim=16, depths=(1, 1), num_heads=(2, 2), window=4,
-        drop_path_rate=0.0, pos_dim=D,
+        drop_path_rate=0.0, pos_dim=D, frozen_stages=frozen_stages,
     )
     det = DetectionModule(
         d_model=D, n_heads=4, num_layers=2, dim_feedforward=64,

@@ -79,12 +79,22 @@ def main(argv=None):
 
     params = replicate(params, mesh)
 
-    # freezing (train_caption.py:48-57): substring rules on param paths
-    freeze = None
+    # freezing (train_caption.py:48-57): substring rules on param paths,
+    # plus the backbone's frozen_stages (swin_model.py:622-637 via
+    # coco_config.yaml:29) which applies in every phase
+    preds = []
     if config.optimizer.get("freeze_backbone"):
-        freeze = frozen_mask(params, lambda p: "backbone" in p)
+        preds.append(lambda p: "backbone" in p)
     if config.optimizer.get("freeze_detector"):
-        freeze = frozen_mask(params, lambda p: "detector" in p)
+        preds.append(lambda p: "detector" in p)
+    fs = int(config.model.get("frozen_stages", -1))
+    if fs >= 0:
+        from grit_tpu.engine.optim import swin_frozen_stages_predicate
+
+        preds.append(swin_frozen_stages_predicate(fs))
+    freeze = (
+        frozen_mask(params, lambda p: any(f(p) for f in preds)) if preds else None
+    )
 
     tx, labels = build_optimizer(
         params, beta_1=config.optimizer.beta_1, beta_2=config.optimizer.beta_2
