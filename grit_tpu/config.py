@@ -129,10 +129,14 @@ class Config:
         """Apply CLI-style dotted overrides, e.g. ``["model.d_model=768"]``.
 
         Unknown keys are applied but warned about (a typo'd override would
-        otherwise silently create a dead key).
+        otherwise silently create a dead key).  Dataset-registry groups
+        (``dataset.roots.<name>`` etc. — the reference's ``od_dataset@dataset:``
+        config groups, train_config.yaml:13-16) are open namespaces: new
+        entries there are the intended usage, not typos.
         """
         import sys
 
+        open_ns = ("dataset.roots.", "dataset.valid_roots.", "dataset.num_copies.")
         for ov in overrides:
             path, _, raw = ov.partition("=")
             path = path.strip()
@@ -140,7 +144,8 @@ class Config:
                 value = json.loads(raw)
             except json.JSONDecodeError:
                 value = raw
-            if warn_unknown and self.select(path, _MISSING) is _MISSING:
+            in_open_ns = path.startswith(open_ns)
+            if warn_unknown and not in_open_ns and self.select(path, _MISSING) is _MISSING:
                 print(
                     f"[config] warning: override creates new key {path!r} "
                     "(typo?)", file=sys.stderr,
@@ -258,6 +263,7 @@ def default_detection_config() -> Config:
         "dataset": {
             "overfit": False,
             "roots": {},          # name -> {img_root, ann_file, ...}
+            "valid_roots": {},    # name -> {img_root, ann_file} for mAP eval
             "num_copies": {},     # name -> int
             "max_size": 1333,
             "scales": [480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800],

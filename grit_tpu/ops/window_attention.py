@@ -35,8 +35,9 @@ lanes [h*d, (h+1)*d)) — no 5-D head-split transposes at all.  Grid =
 [kind, g, N, N] bias block index is constant across the inner batch steps,
 so Pallas DMAs each bias block exactly once.
 
-Backward falls back to autodiff of the unfused formulation via custom_vjp
-(inference is the headline path; training can remat).
+Backward is a fused Pallas kernel too (``_bwd_kernel``): it recomputes the
+softmax probabilities in VMEM (flash-style, nothing saved but qkv+bias) and
+emits dQ/dK/dV with the same block-diagonal head-packing trick.
 
 Replaces the reference's in-XLA-graph window attention
 (models/common/swin_model.py:146-187); math parity with `_unfused` below.

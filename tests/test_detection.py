@@ -204,3 +204,192 @@ class TestAuxHelpers:
                               [0.9, 0.9, 0.1, 0.1]]])
         losses = crit({"pred_logits": logits, "pred_boxes": boxes}, targets)
         assert float(losses["class_error"]) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation against the reference's vendored COCOeval
+# (datasets/detection/metrics/cocoeval.py) on randomized scenes.
+# ---------------------------------------------------------------------------
+REF_COCOEVAL = "/root/reference/datasets/detection/metrics/cocoeval.py"
+
+
+def _load_vendored_cocoeval():
+    """Import the reference's vendored cocoeval.py standalone.
+
+    It needs only numpy + pycocotools.mask.iou (for bbox, plain box IoU with
+    the crowd convention), so a tiny stub makes it importable without
+    pycocotools.  numpy>=1.24 removed np.float which the vendored accumulate
+    uses; restore an alias for the duration of the module's life.
+    """
+    import importlib.util
+    import sys
+    import types
+
+    if "pycocotools.mask" not in sys.modules:
+        pkg = types.ModuleType("pycocotools")
+        mask = types.ModuleType("pycocotools.mask")
+
+        def iou(d, g, iscrowd):
+            d = np.asarray(d, np.float64).reshape(-1, 4)
+            g = np.asarray(g, np.float64).reshape(-1, 4)
+            if len(d) == 0 or len(g) == 0:
+                return []
+            crowd = np.asarray(iscrowd, bool)
+            lt = np.maximum(d[:, None, :2], g[None, :, :2])
+            rb = np.minimum(d[:, None, :2] + d[:, None, 2:],
+                            g[None, :, :2] + g[None, :, 2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[..., 0] * wh[..., 1]
+            area_d = d[:, 2] * d[:, 3]
+            area_g = g[:, 2] * g[:, 3]
+            union = np.where(crowd[None, :], area_d[:, None],
+                             area_d[:, None] + area_g[None, :] - inter)
+            return np.where(union > 0, inter / union, 0.0)
+
+        mask.iou = iou
+        pkg.mask = mask
+        sys.modules["pycocotools"] = pkg
+        sys.modules["pycocotools.mask"] = mask
+
+    if not hasattr(np, "float"):
+        np.float = float  # noqa: NPY001  (vendored code predates numpy 1.24)
+    spec = importlib.util.spec_from_file_location("vendored_cocoeval", REF_COCOEVAL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.COCOeval
+
+
+class _FakeCOCO:
+    """Just enough of the pycocotools COCO api for COCOeval._prepare."""
+
+    def __init__(self, anns, img_ids, cat_ids):
+        self.anns = {a["id"]: a for a in anns}
+        self.img_ids = list(img_ids)
+        self.cat_ids = list(cat_ids)
+
+    def getImgIds(self):
+        return list(self.img_ids)
+
+    def getCatIds(self):
+        return list(self.cat_ids)
+
+    def getAnnIds(self, imgIds=None, catIds=None):
+        imgs = set(imgIds) if imgIds is not None else None
+        cats = set(catIds) if catIds is not None else None
+        return [
+            a["id"] for a in self.anns.values()
+            if (imgs is None or a["image_id"] in imgs)
+            and (cats is None or a["category_id"] in cats)
+        ]
+
+    def loadAnns(self, ids):
+        return [self.anns[i] for i in ids]
+
+
+def _random_scene(rng, n_imgs=6, cats=(1, 2, 3)):
+    """Randomized gt + dets spanning crowds, score ties, area extremes."""
+    gt, det = {}, {}
+    for img in range(1, n_imgs + 1):
+        boxes, labels, crowd = [], [], []
+        for _ in range(rng.randint(0, 9)):
+            # quarter-integer coords keep xywh<->xyxy conversion exact
+            x, y = rng.randint(0, 1200, 2) / 4.0
+            # sizes spanning small/medium/large incl. the exact 32x32 boundary
+            side = rng.choice([8, 31, 32, 33, 64, 95, 96, 97, 200, 320])
+            w = side + rng.randint(0, 5) / 4.0
+            h = side + rng.randint(0, 5) / 4.0
+            boxes.append([x, y, x + w, y + h])
+            labels.append(int(rng.choice(cats)))
+            crowd.append(bool(rng.rand() < 0.2))
+        gt[img] = {
+            "boxes": np.asarray(boxes, np.float64).reshape(-1, 4),
+            "labels": np.asarray(labels, np.int64),
+            "iscrowd": np.asarray(crowd, bool),
+        }
+        d_boxes, d_labels, d_scores = [], [], []
+        for b, lab in zip(boxes, labels):
+            for _ in range(rng.randint(0, 4)):
+                jit = rng.randint(-40, 41, 4) / 4.0
+                bb = np.asarray(b) + jit
+                if bb[2] <= bb[0] or bb[3] <= bb[1]:
+                    continue
+                d_boxes.append(bb)
+                # mislabel sometimes; coarse scores to force sort ties
+                d_labels.append(int(rng.choice(cats)) if rng.rand() < 0.15 else lab)
+                d_scores.append(rng.randint(1, 11) / 10.0)
+        for _ in range(rng.randint(0, 5)):  # pure false positives
+            x, y = rng.randint(0, 1200, 2) / 4.0
+            w, h = rng.randint(4, 800, 2) / 4.0
+            d_boxes.append([x, y, x + w, y + h])
+            d_labels.append(int(rng.choice(cats)))
+            d_scores.append(rng.randint(1, 11) / 10.0)
+        det[img] = {
+            "boxes": np.asarray(d_boxes, np.float64).reshape(-1, 4),
+            "labels": np.asarray(d_labels, np.int64),
+            "scores": np.asarray(d_scores, np.float64),
+        }
+    return gt, det
+
+
+def _vendored_summary(gt, det, cats):
+    COCOeval = _load_vendored_cocoeval()
+    gt_anns, dt_anns = [], []
+    aid = 1
+    for img, g in gt.items():
+        for b, lab, cr in zip(g["boxes"], g["labels"], g["iscrowd"]):
+            x1, y1, x2, y2 = (float(v) for v in b)
+            gt_anns.append(dict(
+                id=aid, image_id=img, category_id=int(lab),
+                bbox=[x1, y1, x2 - x1, y2 - y1],
+                area=(x2 - x1) * (y2 - y1), iscrowd=int(cr),
+            ))
+            aid += 1
+    for img, d in det.items():
+        for b, lab, sc in zip(d["boxes"], d["labels"], d["scores"]):
+            x1, y1, x2, y2 = (float(v) for v in b)
+            dt_anns.append(dict(
+                id=aid, image_id=img, category_id=int(lab),
+                bbox=[x1, y1, x2 - x1, y2 - y1],
+                area=(x2 - x1) * (y2 - y1), iscrowd=0, score=float(sc),
+            ))
+            aid += 1
+    imgs = sorted(gt)
+    ev = COCOeval(_FakeCOCO(gt_anns, imgs, cats), _FakeCOCO(dt_anns, imgs, cats),
+                  iouType="bbox")
+    ev.evaluate()
+    ev.accumulate()
+    pr, rc = ev.eval["precision"], ev.eval["recall"]  # [T,R,K,A,M], [T,K,A,M]
+    m100 = ev.params.maxDets.index(100)
+
+    def mean(x):
+        x = x[x > -1]
+        return float(x.mean()) if len(x) else -1.0
+
+    return {
+        "mAP": mean(pr[:, :, :, 0, m100]),
+        "AP50": mean(pr[0, :, :, 0, m100]),
+        "AP75": mean(pr[5, :, :, 0, m100]),
+        "AP_small": mean(pr[:, :, :, 1, m100]),
+        "AP_medium": mean(pr[:, :, :, 2, m100]),
+        "AP_large": mean(pr[:, :, :, 3, m100]),
+        "AR100": mean(rc[:, :, 0, m100]),
+    }
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_COCOEVAL),
+                    reason="reference checkout unavailable")
+class TestEvaluatorVsVendoredCOCOeval:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6])
+    def test_randomized_scenes_match(self, seed):
+        rng = np.random.RandomState(seed)
+        cats = (1, 2, 3)
+        gt, det = _random_scene(rng, n_imgs=6, cats=cats)
+        want = _vendored_summary(gt, det, cats)
+
+        ev = CocoEvaluator(gt, cat_ids=list(cats))
+        for img, d in det.items():
+            ev.update([img], [d])
+        got = ev.summarize()
+        for key, ref_val in want.items():
+            assert got[key] == pytest.approx(ref_val, abs=1e-9), (
+                key, got[key], ref_val)

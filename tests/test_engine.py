@@ -229,3 +229,49 @@ class TestFrozenStages:
             )
         )
         assert cap_moved > 0
+
+
+class TestSCSTEstimatorEquivalence:
+    """The SCST deviation's checkable half (engine/scst.py:14-22): with
+    dropout off, re-scoring the sampled sequences teacher-forced must
+    reproduce EXACTLY the per-step log-probs the beam search emitted
+    (incl. zeros after EOS) — the REINFORCE estimator then differs from the
+    reference's backprop-through-search only in dropout noise."""
+
+    def test_rescored_logprobs_equal_beam_logprobs(self):
+        from tiny_models import BOS, EOS, VOCAB, tiny_captioner
+
+        from grit_tpu.engine.scst import make_generate_step, sequence_log_probs
+        from grit_tpu.utils.nested import ImageBatch
+
+        model = tiny_captioner()
+        b, beam, t_max = 2, 3, 6
+        rng = np.random.RandomState(0)
+        images = ImageBatch(
+            jnp.asarray(rng.rand(b, 32, 32, 3), jnp.float32),
+            jnp.zeros((b, 32, 32), bool),
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), images, jnp.full((b, 4), BOS, jnp.int32)
+        )
+
+        generate = make_generate_step(
+            model, beam_size=beam, max_len=t_max, bos_idx=BOS, eos_idx=EOS
+        )
+        seqs, beam_logp = generate(params, images, b, None)  # deterministic
+        assert seqs.shape == (b, beam, t_max)
+
+        rescored = sequence_log_probs(
+            model, params, images, seqs, bos_idx=BOS, eos_idx=EOS, rng=None
+        )
+        beam_np, re_np = np.asarray(beam_logp), np.asarray(rescored)
+        # positions after EOS must be exactly 0 in both
+        post_eos = np.cumsum(np.asarray(seqs) == EOS, axis=-1) > 0
+        post_eos = np.concatenate(
+            [np.zeros_like(post_eos[..., :1]), post_eos[..., :-1]], axis=-1
+        )
+        np.testing.assert_array_equal(beam_np[post_eos], 0.0)
+        np.testing.assert_array_equal(re_np[post_eos], 0.0)
+        # and the live positions must agree to numerics (cached incremental
+        # decode vs full teacher-forced attention)
+        np.testing.assert_allclose(re_np, beam_np, rtol=2e-4, atol=2e-5)
