@@ -62,8 +62,8 @@ def main(argv=None):
                     arr = to_normalized_array(minmax_resize(im.convert("RGB"), (384, 640)))
                 arrs.append(arr)
             imgs = batch_images(arrs, bucket_hw=(640, 640))
-            out = generate(params, imgs, len(chunk))
-            caps = text_field.decode(np.asarray(out)[:, 0])
+            out = generate(params, imgs, len(chunk))  # [B, T] top-1 beam
+            caps = text_field.decode(np.asarray(out))
             results += [
                 {"image_id": info["id"], "caption": c}
                 for info, c in zip(chunk, caps)

@@ -35,7 +35,7 @@ class NocapsDataset:
             return self.transform(im), info["id"]
 
 
-def main():
+def main(argv=None):
     from grit_tpu.utils.misc import enable_compile_cache
 
     enable_compile_cache()
@@ -55,9 +55,9 @@ def main():
     ap.add_argument("--img-root", required=True)
     ap.add_argument("--out", default="nocaps_val_results.json")
     ap.add_argument("--batch", type=int, default=16)
-    args = ap.parse_args()
+    args, overrides = ap.parse_known_args(argv)
 
-    config = default_caption_config()
+    config = default_caption_config().apply_overrides(overrides)
     model = build_captioner(config, dtype=jnp.bfloat16)
     text_field = TextField(vocab_path=config.dataset.vocab_path)
     params = load_any_checkpoint(args.checkpoint, model, config)
@@ -75,8 +75,8 @@ def main():
         imgs = batch_images(
             [it[0] for it in items], bucket_hw=tuple(config.dataset.transform_cfg.size)
         )
-        out = generate(params, imgs, len(items))
-        caps = text_field.decode(np.asarray(out)[:, 0])
+        out = generate(params, imgs, len(items))  # [B, T] top-1 beam
+        caps = text_field.decode(np.asarray(out))
         results += [
             {"image_id": it[1], "caption": c} for it, c in zip(items, caps)
         ]

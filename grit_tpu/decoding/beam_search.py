@@ -143,7 +143,9 @@ def beam_search(
         parent = jnp.take_along_axis(step_rec["parents"], beam_idx, axis=1)
         return parent, (words, wlogp)
 
-    init_idx = jnp.broadcast_to(jnp.arange(k)[None], (b, k))
+    # int32 explicitly: under jax_enable_x64 a bare arange would be int64 and
+    # mismatch the int32 parent pointers in the scan carry
+    init_idx = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None], (b, k))
     _, (words_rev, wlogp_rev) = jax.lax.scan(
         backtrace, init_idx, steps, reverse=True
     )

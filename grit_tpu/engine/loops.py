@@ -126,21 +126,27 @@ def train_sc_epoch(
     pending = None  # (samples, sequences_device, captions)
 
     def reward_and_update(state, samples, sequences, captions, rng):
-        seqs = np.asarray(sequences)  # [B, beam, T] (device -> host sync point)
-        b, k, t_len = seqs.shape
-        caps_gen = text_field.decode(seqs.reshape(-1, t_len))
+        seqs = np.asarray(sequences)  # [Bpad, beam, T] (device -> host sync point)
+        b_pad, k, t_len = seqs.shape
+        b = len(captions)  # true count; rows past it are ragged-batch padding
+        caps_gen = text_field.decode(seqs[:b].reshape(-1, t_len))
         caps_gt = list(itertools.chain(*([c] * k for c in captions)))
         gen_tok = PTBTokenizer.tokenize(caps_gen)
         gt_tok = PTBTokenizer.tokenize(caps_gt)
         reward = cider.compute_score(gt_tok, gen_tok)[1].astype(np.float32).reshape(b, k)
-        state, metrics = scst_update(state, samples, sequences, reward, rng)
+        reward = np.concatenate(
+            [reward, np.zeros((b_pad - b, k), np.float32)], axis=0
+        )
+        state, metrics = scst_update(
+            state, samples, sequences, reward, np.float32(b), rng
+        )
         return state, metrics
 
     for batch in dataloaders["train_dict"]:
         samples = batch["samples"]
         if mesh is not None:
             samples = shard_batch(samples, mesh)
-        bs = len(batch["image_id"])
+        bs = int(jax.tree.leaves(samples)[0].shape[0])  # padded size for the jitted search
         rng, gen_rng, upd_rng = jax.random.split(rng, 3)
         sequences, _ = generate_step(state.params, samples, bs, gen_rng)
         # overlap: while the device generates this batch, score the previous

@@ -128,11 +128,17 @@ def make_scst_update_step(
 ) -> Callable:
     """Jitted SCST gradient step.
 
-    (state, samples, sequences [B,beam,T], rewards [B,beam], rng)
+    (state, samples, sequences [B,beam,T], rewards [B,beam], n_valid, rng)
       -> (state, metrics)
+
+    ``n_valid`` is the true image count: ragged batches arrive zero-padded
+    to the data-axis multiple (parallel/mesh.py ``shard_batch``), and the
+    padded rows carry reward 0 = baseline 0 so their advantage vanishes —
+    normalizing by ``n_valid * beam`` instead of ``.mean()`` makes the loss
+    and gradient exactly the true-batch ones.
     """
 
-    def step(state: TrainState, samples, sequences, rewards, rng):
+    def step(state: TrainState, samples, sequences, rewards, n_valid, rng):
         def loss_fn(params):
             logp = sequence_log_probs(
                 model, params, samples, sequences,
@@ -140,8 +146,9 @@ def make_scst_update_step(
             )  # [B, beam, T]
             mean_logp = logp.mean(-1)  # mean over max_len incl. zeros (ref :439)
             baseline = rewards.mean(-1, keepdims=True)
-            loss = (-mean_logp * (rewards - baseline)).mean()
-            return loss, (rewards.mean(), baseline.mean())
+            denom = n_valid * rewards.shape[-1]
+            loss = (-mean_logp * (rewards - baseline)).sum() / denom
+            return loss, (rewards.sum() / denom, baseline.sum() * rewards.shape[-1] / denom)
 
         (loss, (rew, base)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

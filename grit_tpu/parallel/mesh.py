@@ -73,35 +73,61 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_batch(tree: Any, mesh: Mesh) -> Any:
+def pad_to_multiple(tree: Any, multiple: int, int_fill: int = 1) -> Any:
+    """Zero-pad each leaf's leading axis up to a multiple of ``multiple``.
+
+    Integer leaves are filled with ``int_fill`` (default 1 = the vocab's
+    ``<pad>`` id, so padded caption rows carry zero NLL weight — the loss
+    and its gradient are bit-identical to the unpadded batch).  Float and
+    bool leaves pad with zeros (a zero image with an all-valid mask is
+    numerically safe; its outputs carry zero weight downstream).
+    """
+    if multiple <= 1:
+        return tree
+
+    def pad(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        rem = (-x.shape[0]) % multiple
+        if rem == 0:
+            return x
+        arr = np.asarray(x)
+        fill = int_fill if np.issubdtype(arr.dtype, np.integer) else 0
+        block = np.full((rem,) + arr.shape[1:], fill, dtype=arr.dtype)
+        return np.concatenate([arr, block], axis=0)
+
+    return jax.tree.map(pad, tree)
+
+
+def shard_batch(tree: Any, mesh: Mesh, int_fill: int = 1) -> Any:
     """Device-put a host batch with its leading axis split over ``data``.
+
+    Batches whose leading axis is not divisible by the data axis (e.g. a
+    short final eval batch) are padded with ``pad_to_multiple`` and sharded
+    normally — never silently replicated (which would cost n_data x memory
+    and compute on every device).  Callers track the true batch size
+    themselves (``len(batch['image_id'])``) and slice/weight outputs.
 
     Single-host: a plain sharded device_put.  Multi-host: each process holds
     its rank's slice of the global batch (the loader shards by rank/world
-    like DistributedSampler) and the slices assemble into one global array
-    via ``make_array_from_process_local_data``.
+    like DistributedSampler); each local slice is padded to the local device
+    count and the slices assemble into one global array via
+    ``make_array_from_process_local_data``.
     """
     sharding = batch_sharding(mesh)
+    n_data = mesh.shape.get("data", 1)
 
     if jax.process_count() > 1:
-        from jax.experimental import multihost_utils  # noqa: F401
+        local = max(1, n_data // jax.process_count())
+        tree = pad_to_multiple(tree, local, int_fill)
 
         def put(x):
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
         return jax.tree.map(put, tree)
 
-    n_data = mesh.shape.get("data", 1)
-    repl = NamedSharding(mesh, P())
-
-    def put(x):
-        # batches not divisible by the data axis (e.g. a short final batch)
-        # fall back to replication rather than crashing
-        if hasattr(x, "shape") and x.ndim > 0 and x.shape[0] % n_data == 0:
-            return jax.device_put(x, sharding)
-        return jax.device_put(x, repl)
-
-    return jax.tree.map(put, tree)
+    tree = pad_to_multiple(tree, n_data, int_fill)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

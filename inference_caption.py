@@ -43,7 +43,7 @@ def caption_image(image_path, checkpoint, config=None, beam_size=None):
     return text_field.decode(np.asarray(out))[0]
 
 
-def main():
+def main(argv=None):
     from grit_tpu.utils.misc import enable_compile_cache
 
     enable_compile_cache()
@@ -52,7 +52,7 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--beam", type=int, default=None)
     ap.add_argument("--vocab", default=None)
-    args, overrides = ap.parse_known_args()
+    args, overrides = ap.parse_known_args(argv)
 
     from grit_tpu.config import default_caption_config
 

@@ -1,0 +1,208 @@
+"""L5 CLI smoke tests: drive every eval/inference entry point in-process on
+a synthetic tiny fixture (VERDICT r1 item 5 — previously these surfaces had
+no automated coverage and a decode-shape bug in eval_caption_online /
+eval_nocaps went unnoticed).
+
+Each test runs the CLI's ``main(argv)`` with tiny-model overrides against a
+synthetic Karpathy-format DATA_ROOT and asserts on the artifacts it writes.
+"""
+
+import json
+import os
+from collections import Counter
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from grit_tpu.data.vocab import Vocab
+
+WORDS = "a thing number doing stuff red blue cat dog 1 2 11 12 13 14".split()
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Synthetic Karpathy COCO + vocab + online-eval + nocaps fixtures."""
+    root = tmp_path_factory.mktemp("cli_coco")
+    (root / "annotations").mkdir()
+    (root / "train2014").mkdir()
+    (root / "val2014").mkdir()
+    (root / "test2014").mkdir()
+
+    rng = np.random.RandomState(0)
+
+    def make_split(name, img_dir, img_ids, ann_start):
+        images, anns = [], []
+        for i, img_id in enumerate(img_ids):
+            fname = f"{name}_{img_id:012d}.jpg"
+            Image.fromarray(
+                rng.randint(0, 255, (60, 80 + 10 * i, 3), np.uint8)
+            ).save(root / img_dir / fname)
+            images.append({"id": img_id, "file_name": fname,
+                           "height": 60, "width": 80 + 10 * i})
+            for j in range(2):
+                anns.append({"id": ann_start + img_id * 10 + j, "image_id": img_id,
+                             "caption": f"a {WORDS[5 + i % 4]} thing number {img_id} doing stuff {j}"})
+        return {"images": images, "annotations": anns}
+
+    train = make_split("COCO_train2014", "train2014", [1, 2], 0)
+    val = make_split("COCO_val2014", "val2014", [11, 12, 13, 14], 100000)
+    json.dump(train, open(root / "annotations" / "captions_train2014.json", "w"))
+    json.dump(val, open(root / "annotations" / "captions_val2014.json", "w"))
+    np.save(root / "annotations" / "coco_train_ids.npy",
+            np.asarray([a["id"] for a in train["annotations"]]))
+    np.save(root / "annotations" / "coco_dev_ids.npy",
+            np.asarray([a["id"] for a in val["annotations"] if a["image_id"] == 11]))
+    np.save(root / "annotations" / "coco_test_ids.npy",
+            np.asarray([a["id"] for a in val["annotations"] if a["image_id"] == 12]))
+    np.save(root / "annotations" / "coco_restval_ids.npy",
+            np.asarray([a["id"] for a in val["annotations"]
+                        if a["image_id"] in (13, 14)]))
+
+    vocab = Vocab(counter=Counter({w: 5 for w in WORDS}))
+    vocab.save(str(root / "annotations" / "vocab.json"))
+
+    # online-eval test2014 split (image-info format, no captions)
+    test_imgs = []
+    for i, img_id in enumerate([501, 502, 503]):
+        fname = f"COCO_test2014_{img_id:012d}.jpg"
+        Image.fromarray(rng.randint(0, 255, (60, 90, 3), np.uint8)).save(
+            root / "test2014" / fname
+        )
+        test_imgs.append({"id": img_id, "file_name": fname,
+                          "height": 60, "width": 90})
+    json.dump({"images": test_imgs},
+              open(root / "annotations" / "image_info_test2014.json", "w"))
+    return root
+
+
+def tiny_overrides(data_root):
+    vocab = Vocab(vocab_path=str(data_root / "annotations" / "vocab.json"))
+    return [
+        "model.backbone=swin_test",
+        "model.grid_feat_dim=64",
+        "model.d_model=32",
+        "model.n_heads=4",
+        "model.grid_net.n_layers=1",
+        "model.cap_generator.n_layers=1",
+        "model.detector.d_model=32",
+        "model.detector.dim_feedforward=64",
+        "model.detector.num_heads=4",
+        "model.detector.num_layers=1",
+        "model.detector.num_levels=2",
+        "model.detector.num_points=2",
+        "model.detector.num_queries=6",
+        "model.detector.num_classes=10",
+        f"model.vocab_size={len(vocab.itos)}",
+        "model.max_len=12",
+        "model.beam_size=2",
+        "model.beam_len=6",
+        "dataset.transform_cfg.size=[64, 96]",
+        "dataset.transform_cfg.randaug=false",
+        "optimizer.batch_size=2",
+    ]
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(data_root, tmp_path_factory):
+    """Random-init tiny captioner saved in the trainer's Orbax layout."""
+    os.environ["DATA_ROOT"] = str(data_root)
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from grit_tpu.config import default_caption_config
+    from grit_tpu.models.captioner import build_captioner
+    from grit_tpu.utils.nested import ImageBatch
+
+    config = default_caption_config().apply_overrides(tiny_overrides(data_root))
+    model = build_captioner(config)
+    images = ImageBatch(jnp.zeros((1, 64, 96, 3)), jnp.zeros((1, 64, 96), bool))
+    variables = model.init(
+        jax.random.PRNGKey(0), images, jnp.full((1, 4), 2, jnp.int32)
+    )
+    path = tmp_path_factory.mktemp("cli_ckpt") / "last"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(str(path), {"params": variables})
+    return str(path)
+
+
+@pytest.fixture(autouse=True)
+def _env(data_root, monkeypatch, tmp_path):
+    monkeypatch.setenv("DATA_ROOT", str(data_root))
+    monkeypatch.chdir(tmp_path)
+
+
+def _assert_real_captions(results, expected_ids):
+    assert [r["image_id"] for r in results] == expected_ids
+    for r in results:
+        assert isinstance(r["caption"], str)
+        # decoded from the vocab, not single characters / token ids
+        for w in r["caption"].split():
+            assert w in WORDS or w in ("<unk>", "<pad>", "<bos>"), r["caption"]
+
+
+class TestEvalCaption:
+    def test_karpathy_eval_prints_scores(self, data_root, ckpt_path, capsys):
+        import eval_caption
+
+        eval_caption.main(tiny_overrides(data_root) + [f"exp.checkpoint={ckpt_path}"])
+        out = capsys.readouterr().out
+        assert "valid_dict:" in out and "test_dict:" in out
+        assert "CIDEr" in out
+
+
+class TestEvalCaptionOnline:
+    def test_writes_submission_jsons(self, data_root, ckpt_path):
+        import eval_caption_online
+
+        eval_caption_online.main(
+            tiny_overrides(data_root) + [f"exp.checkpoint={ckpt_path}"]
+        )
+        test_res = json.load(open("result_test.json"))
+        valid_res = json.load(open("result_valid.json"))
+        _assert_real_captions(test_res, [501, 502, 503])
+        _assert_real_captions(valid_res, [11, 12, 13, 14])
+
+
+class TestEvalNocaps:
+    def test_writes_results_json(self, data_root, ckpt_path):
+        import eval_nocaps
+
+        # nocaps val annotations are COCO image-info format
+        eval_nocaps.main([
+            "--checkpoint", ckpt_path,
+            "--ann", str(data_root / "annotations" / "image_info_test2014.json"),
+            "--img-root", str(data_root / "test2014"),
+            "--out", "nocaps_out.json",
+            "--batch", "2",
+        ] + tiny_overrides(data_root))
+        res = json.load(open("nocaps_out.json"))
+        _assert_real_captions(res, [501, 502, 503])
+
+
+class TestInferenceCaption:
+    def test_prints_caption(self, data_root, ckpt_path, capsys):
+        import inference_caption
+
+        img = str(data_root / "val2014" / "COCO_val2014_000000000011.jpg")
+        inference_caption.main([
+            "--image", img, "--checkpoint", ckpt_path, "--beam", "2",
+        ] + tiny_overrides(data_root))
+        assert "Caption:" in capsys.readouterr().out
+
+
+class TestExtractFeatures:
+    def test_writes_hdf5_for_all_unique_images(self, data_root, tmp_path):
+        import h5py
+
+        import tools.extract_features as xf
+
+        h5_path = str(tmp_path / "feats.h5")
+        xf.main(tiny_overrides(data_root) + [f"dataset.hdf5_path={h5_path}"])
+        with h5py.File(h5_path) as f:
+            ids = sorted(int(i) for i in f["image_ids"][:])
+            # every unique image across train/valid/test dict splits
+            assert ids == [1, 2, 11, 12, 13, 14]
+            assert f["gri_feat"].shape[0] == 6
+            assert f["reg_feat"].shape[:2] == (6, 6)  # num_queries=6

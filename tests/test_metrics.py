@@ -116,3 +116,34 @@ class TestTokenizers:
     def test_ptb_tokenizer_list_interface(self):
         out = PTBTokenizer.tokenize(["Hello, world!"])
         assert out == {0: ["hello world"]}
+
+
+class TestMeteorGoldens:
+    """Hand-computed values pin the exact+stem METEOR formula
+    (alpha=0.85 fmean, cubic fragmentation penalty with gamma=0.6,
+    stem-match weight 0.6) against regressions.  Bit-parity with
+    meteor-1.5.jar is unverifiable here: the jar AND its WordNet/paraphrase
+    data are stripped from the reference checkout and the environment has
+    no network — see the module docstring's documented deviation."""
+
+    def _score_one(self, cand, ref):
+        score, _ = Meteor().compute_score({"k": [ref]}, {"k": [cand]})
+        return score
+
+    def test_identical_sentence(self):
+        # 6 exact matches, 1 chunk: fmean=1, penalty=0.6*(1/6)^3
+        want = (1 - 0.6 * (1 / 6) ** 3) * 1.0
+        got = self._score_one("the cat sat on the mat", "the cat sat on the mat")
+        assert got == pytest.approx(want, abs=1e-12)
+
+    def test_fully_scrambled_all_chunks(self):
+        # all 6 words match but in 6 chunks: frag=1 -> penalty=0.6
+        got = self._score_one("on the mat sat the cat", "the cat sat on the mat")
+        assert got == pytest.approx(0.4, abs=1e-12)
+
+    def test_stem_stage_weight(self):
+        # "dogs running" vs "dog runs": both match only via Porter stems
+        # wm=1.2, P=R=0.6, fmean=0.6, chunks=1/m=2 -> penalty=0.6*(0.5)^3
+        want = (1 - 0.6 * 0.5 ** 3) * 0.6
+        got = self._score_one("dogs running", "dog runs")
+        assert got == pytest.approx(want, abs=1e-12)

@@ -66,3 +66,51 @@ class TestDryrunMultichip:
 
         assert callable(__graft_entry__.entry)
         assert callable(__graft_entry__.dryrun_multichip)
+
+
+@needs_8
+class TestRaggedBatch:
+    """Ragged batches pad to the data-axis multiple and shard — never
+    silently replicate (VERDICT r1: replication cost n_data x memory on the
+    final eval batch) — and padded rows are metric-neutral."""
+
+    def test_ragged_batch_is_sharded_not_replicated(self):
+        mesh = make_mesh(n_data=8)
+        batch = {
+            "samples": np.random.RandomState(0).rand(12, 6).astype(np.float32),
+            "captions": np.asarray([[2, 5, 6, 3, 1]] * 12, np.int32),
+        }
+        sharded = shard_batch(batch, mesh)
+        for leaf in jax.tree.leaves(sharded):
+            assert leaf.shape[0] == 16  # padded to the multiple
+            assert not leaf.sharding.is_fully_replicated
+            assert leaf.sharding.is_equivalent_to(batch_sharding(mesh), leaf.ndim)
+        # int leaves pad with the <pad> id, float leaves with zeros
+        assert np.asarray(sharded["captions"])[12:].tolist() == [[1] * 5] * 4
+        np.testing.assert_array_equal(np.asarray(sharded["samples"])[12:], 0.0)
+
+    def test_val_loss_identical_to_unpadded(self):
+        import sys as _sys
+
+        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        from test_engine import tiny_model
+
+        from grit_tpu.engine.xe import make_eval_loss_step
+
+        model = tiny_model()
+        rng = np.random.RandomState(1)
+        samples = rng.rand(12, 6).astype(np.float32)
+        caps = np.asarray([[2, 5, 6, 3, 1, 1]] * 12, np.int32)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(samples),
+                            jnp.asarray(caps))
+        eval_loss = make_eval_loss_step(model, pad_idx=1)
+        want = float(eval_loss(params, {"samples": jnp.asarray(samples),
+                                        "captions": jnp.asarray(caps)}))
+
+        mesh = make_mesh(n_data=8)
+        with mesh:
+            batch = shard_batch({"samples": samples, "captions": caps}, mesh)
+            got = float(eval_loss(params, batch))
+        # padded rows are all-<pad> captions -> zero token weight -> the
+        # per-token-normalized loss is unchanged
+        np.testing.assert_allclose(got, want, rtol=1e-6)
