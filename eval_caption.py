@@ -46,7 +46,13 @@ def load_any_checkpoint(path, model, config):
         restored = ckptr.restore(
             os.path.abspath(path), restore_args=restore_args
         )
-    return restored["params"]
+    # strict=False merge against the model's init tree (reference
+    # train_caption.py:39): checkpoints written before a param was added
+    # (e.g. the loadable pos_emb table) keep the init value for it.
+    merged, miss, unexp = ckpt.load_params_flexible(params, restored["params"])
+    if miss or unexp:
+        print(f"load: missing={miss}, unexpected={unexp}")
+    return merged
 
 
 def main(argv=None):

@@ -27,10 +27,14 @@ from typing import Any
 
 import numpy as np
 
-# torch keys to drop entirely (recomputed or dead in our model)
+# torch keys to drop entirely (recomputed or dead in our model).
+# NOTE: cap_generator.pos_emb.weight is deliberately NOT here — the
+# reference's Transformer.init_weights xavier-clobbers the "frozen
+# sinusoid" table (transformer.py:48-50 iterates ALL parameters incl.
+# requires_grad=False ones), so released checkpoints carry a random
+# position table that MUST be loaded, not recomputed.
 _SKIP_PATTERNS = [
     r"relative_position_index$",
-    r"cap_generator\.pos_emb\.weight$",
     r"\.downsample\.expansion\.",
     r"\.downsample\.norm2\.",
     r"backbone\.norm[0-9]\.",          # unused out_indices norms
@@ -72,6 +76,7 @@ def _rename_path(key: str) -> list[str]:
     k = k.replace("self_attn.out_proj", "self_attn/out_proj")
     # Embedding .weight collapses onto the param itself
     k = k.replace("word_emb.weight", "word_emb")
+    k = k.replace("pos_emb.weight", "pos_emb")
     k = k.replace("query_embed.weight", "query_embed")
     return k.replace(".", "/").split("/")
 
@@ -85,7 +90,7 @@ def translate(key: str, tensor: np.ndarray):
     leaf = path[-1]
     value = np.asarray(tensor)
 
-    if leaf in _RAW_LEAVES or leaf in ("word_emb", "query_embed"):
+    if leaf in _RAW_LEAVES or leaf in ("word_emb", "pos_emb", "query_embed"):
         return tuple(path), value
 
     parent = path[-2] if len(path) >= 2 else ""

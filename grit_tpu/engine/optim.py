@@ -36,10 +36,18 @@ def split_param_labels(params: Any) -> Any:
 
     (The reference's "backbone" optimizer is the whole detector subtree —
     Swin AND deformable decoder; caption_engine.py:40-55.)
+
+    The caption generator's ``pos_emb`` table is labelled 'frozen': the
+    reference registers it with ``freeze=True`` (requires_grad=False,
+    cap_generator.py:111), so it must never receive updates — it is a
+    loadable parameter only because released checkpoints carry a
+    xavier-clobbered table (see models/cap_generator.py setup).
     """
 
     def label(path, _leaf):
         parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        if parts and parts[-1] == "pos_emb":
+            return "frozen"
         return "backbone" if any("detector" in s for s in parts) else "model"
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -131,7 +139,7 @@ def apply_lr(updates: Any, labels: Any, model_lr, backbone_lr, freeze=None) -> A
     def scale(u, lab, fr=False):
         lr = model_lr if lab == "model" else backbone_lr
         out = -lr * u
-        if fr is True:
+        if fr is True or lab == "frozen":
             out = jnp.zeros_like(u)
         return out
 

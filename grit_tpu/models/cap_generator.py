@@ -227,7 +227,20 @@ class CaptionGenerator(nn.Module):
         self.word_emb = self.param(
             "word_emb", nn.initializers.xavier_uniform(), (self.vocab_size, self.d_model)
         )
-        self.pos_table = sinusoid_encoding_table(self.max_len + 1, self.d_model, padding_idx=0)
+        # A loadable parameter, NOT a baked constant: the reference's
+        # Transformer.init_weights xavier-clobbers its "frozen sinusoid"
+        # pos_emb (transformer.py:48-50 touches requires_grad=False params
+        # too), so released checkpoints carry a random table that must be
+        # restored for caption parity.  Fresh our-side training starts from
+        # true sinusoids; the optimizer never updates it (label 'frozen' in
+        # engine/optim.py — requires_grad=False parity).
+        self.pos_emb = self.param(
+            "pos_emb",
+            lambda key, shape: sinusoid_encoding_table(
+                shape[0], shape[1], padding_idx=0
+            ),
+            (self.max_len + 1, self.d_model),
+        )
         layer_cls = GENERATOR_LAYER[self.decoder_name]
         kwargs = dict(
             d_model=self.d_model, n_heads=self.n_heads, d_ff=self.d_ff,
@@ -255,12 +268,12 @@ class CaptionGenerator(nn.Module):
         """
         b, L = input_ids.shape
         is_pad = input_ids == self.pad_idx
-        mask_pad = (~is_pad)[..., None].astype(self.pos_table.dtype)  # [B, L, 1]
+        mask_pad = (~is_pad)[..., None].astype(self.pos_emb.dtype)  # [B, L, 1]
         causal = np.triu(np.ones((L, L), bool), k=1)[None, None]  # [1, 1, L, L]
         mask_x = jnp.logical_or(jnp.asarray(causal), is_pad[:, None, None, :])
 
         seq = jnp.arange(1, L + 1)[None, :] * (~is_pad)  # 0 at pads -> zero pos row
-        x = self.word_emb[input_ids] + self.pos_table[seq]
+        x = self.word_emb[input_ids] + self.pos_emb[seq]
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
@@ -298,13 +311,13 @@ class CaptionGenerator(nn.Module):
         """One decoding step -> (log-probs [B, V], new cache)."""
         b = token.shape[0]
         is_pad = token == self.pad_idx  # [B, 1]
-        mask_pad = (~is_pad)[..., None].astype(self.pos_table.dtype)  # [B, 1, 1]
+        mask_pad = (~is_pad)[..., None].astype(self.pos_emb.dtype)  # [B, 1, 1]
         pad_hist = cache["pad_hist"].at[:, t].set(is_pad[:, 0])
         # attention mask over cache slots: past pad tokens are masked; slots
         # beyond t are masked inside MultiHeadAttention via cache_index.
         mask_x = pad_hist[:, None, None, :]  # [B, 1, 1, T_max]
 
-        x = self.word_emb[token] + self.pos_table[t + 1][None, None, :]
+        x = self.word_emb[token] + self.pos_emb[t + 1][None, None, :]
         if self.dtype is not None:
             x = x.astype(self.dtype)
 

@@ -198,3 +198,82 @@ class TestSelfAttentionParity:
         out = ours.apply(params, jnp.asarray(q.numpy()), jnp.asarray(q.numpy()),
                          jnp.asarray(q.numpy()))
         np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference checkout unavailable")
+class TestPosEmbClobberParity:
+    def test_xavier_clobbered_pos_table_is_loaded(self, ref_path):
+        """The reference's Transformer.init_weights xavier-reinitializes ALL
+        params with dim>1 — including the 'frozen sinusoid' pos_emb
+        (transformer.py:48-50; nn.Embedding.from_pretrained freeze=True only
+        sets requires_grad=False).  Released checkpoints therefore carry a
+        RANDOM position table.  Conversion must load it, not recompute
+        sinusoids — this was a real full-model caption divergence found by
+        tools/checkpoint_parity.py --f64."""
+        from models.caption.cap_generator import CaptionGenerator as TorchGen
+
+        import jax.numpy as jnp
+
+        from grit_tpu.models.cap_generator import CaptionGenerator
+
+        torch.manual_seed(7)
+        tm = TorchGen(vocab_size=30, max_len=20, n_layers=2, pad_idx=1,
+                      d_model=16, n_heads=4, dropout=0.0).eval()
+        # simulate Transformer.init_weights hitting the frozen table
+        with torch.no_grad():
+            torch.nn.init.xavier_uniform_(tm.pos_emb.weight)
+
+        seq = torch.tensor([[2, 5, 6, 3, 1, 1], [2, 7, 8, 9, 3, 1]])
+        gri = torch.randn(2, 7, 16)
+        reg = torch.randn(2, 4, 16)
+        vis_t = {
+            "gri_feat": gri, "reg_feat": reg,
+            "gri_mask": torch.zeros(2, 1, 1, 7, dtype=torch.bool),
+            "reg_mask": torch.zeros(2, 1, 1, 4, dtype=torch.bool),
+        }
+        with torch.no_grad():
+            ref_out = tm(seq, vis_t)
+
+        ours = CaptionGenerator(vocab_size=30, max_len=20, n_layers=2,
+                                pad_idx=1, d_model=16, n_heads=4)
+        params = {"params": to_jax_params(tm)}
+        assert "pos_emb" in params["params"], "pos_emb must convert as a param"
+        vis_j = {
+            "gri_feat": jnp.asarray(gri.numpy()),
+            "reg_feat": jnp.asarray(reg.numpy()),
+            "gri_mask": jnp.zeros((2, 1, 1, 7), bool),
+            "reg_mask": jnp.zeros((2, 1, 1, 4), bool),
+        }
+        out = ours.apply(params, jnp.asarray(seq.numpy()), vis_j)
+        np.testing.assert_allclose(
+            np.asarray(out), ref_out.numpy(), rtol=1e-4, atol=1e-4
+        )
+
+    def test_fresh_init_is_sinusoid_and_never_updated(self):
+        import jax
+        import jax.numpy as jnp
+
+        from grit_tpu.engine.optim import apply_lr, build_optimizer
+        from grit_tpu.models.cap_generator import CaptionGenerator
+        from grit_tpu.ops.posemb import sinusoid_encoding_table
+
+        ours = CaptionGenerator(vocab_size=30, max_len=20, n_layers=1,
+                                pad_idx=1, d_model=16, n_heads=4)
+        vis = {
+            "gri_feat": jnp.zeros((1, 3, 16)), "reg_feat": jnp.zeros((1, 2, 16)),
+            "gri_mask": jnp.zeros((1, 1, 1, 3), bool),
+            "reg_mask": jnp.zeros((1, 1, 1, 2), bool),
+        }
+        params = ours.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32), vis)
+        np.testing.assert_allclose(
+            np.asarray(params["params"]["pos_emb"]),
+            np.asarray(sinusoid_encoding_table(21, 16, padding_idx=0)),
+        )
+        # the 'frozen' label zeroes its updates (requires_grad=False parity)
+        tx, labels = build_optimizer(params)
+        fake_updates = jax.tree.map(jnp.ones_like, params)
+        scaled = apply_lr(fake_updates, labels, 1.0, 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(scaled["params"]["pos_emb"]), 0.0
+        )
+        assert np.abs(np.asarray(scaled["params"]["word_emb"])).sum() > 0
