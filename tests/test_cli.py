@@ -206,3 +206,22 @@ class TestExtractFeatures:
             assert ids == [1, 2, 11, 12, 13, 14]
             assert f["gri_feat"].shape[0] == 6
             assert f["reg_feat"].shape[:2] == (6, 6)  # num_queries=6
+
+
+class TestArtemisExtractFeatures:
+    def test_writes_hdf5_from_listing(self, data_root, tmp_path):
+        import h5py
+
+        import tools.artemis_extract_features as axf
+
+        listing = tmp_path / "paintings.json"
+        paths = sorted(p.name for p in (data_root / "val2014").iterdir())[:3]
+        json.dump(paths, open(listing, "w"))
+        out = str(tmp_path / "artemis.h5")
+        axf.main([
+            "--listing", str(listing), "--img-root", str(data_root / "val2014"),
+            "--out", out, "--batch", "2",
+        ] + tiny_overrides(data_root))
+        with h5py.File(out) as f:
+            assert f["gri_feat"].shape[0] == 3
+            assert [p.decode() for p in f["paths"][:]] == paths

@@ -44,6 +44,7 @@ REFERENCE_KEYS = [
     ("grid_net.layers.2.mhatt.attention.fc_q.weight", (512, 512)),
     ("grid_net.layers.0.pwff.layer_norm.weight", (512,)),
     ("cap_generator.word_emb.weight", (10201, 512)),
+    ("cap_generator.pos_emb.weight", (55, 512)),  # xavier-clobbered table, loaded
     ("cap_generator.layers.1.self_att.attention.fc_o.weight", (512, 512)),
     ("cap_generator.layers.0.vis_att2.layer_norm.bias", (512,)),
     ("cap_generator.layers.0.fc_alpha1.weight", (512, 1024)),
@@ -76,9 +77,11 @@ REFERENCE_KEYS = [
     ("detector.det_module.bbox_embed.4.layers.2.weight", (4, 512)),
 ]
 
-# keys the converter must SKIP (recomputed/dead in our model)
+# keys the converter must SKIP (recomputed/dead in our model).
+# cap_generator.pos_emb.weight is NOT skipped: the reference xavier-clobbers
+# the "frozen" sinusoid table in Transformer.init_weights, so checkpoints
+# carry a random table that must be loaded (test_convert_parity).
 SKIPPED_KEYS = [
-    "cap_generator.pos_emb.weight",
     "detector.backbone.layers.0.blocks.0.attn.relative_position_index",
     "detector.backbone.layers.1.downsample.expansion.weight",
     "detector.backbone.layers.1.downsample.norm2.weight",

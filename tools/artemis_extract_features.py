@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--batch", type=int, default=16)
-    args, overrides = ap.parse_known_args()
+    args, overrides = ap.parse_known_args(argv)
 
     config = default_caption_config().apply_overrides(overrides)
     detector = build_detector(config, dtype=jnp.bfloat16)
