@@ -40,11 +40,12 @@ def main():
     # 144.3 at batch 64, 78.8 at batch 16 on v5e; 256 regresses to 143.3);
     # still a realistic eval batch for the
     # 5000-image Karpathy splits
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    args = sys.argv[1:]
+    batch = int(args.pop(0)) if args and args[0].isdigit() else 128
     beam = 5
     max_len = 20
 
-    config = default_caption_config()
+    config = default_caption_config().apply_overrides(args)
     model = build_captioner(config, dtype=jnp.bfloat16)
 
     h, w = 384, 640

@@ -68,7 +68,9 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, g, d, bblk):
     qmask = row_blk == col_blk
 
     for i in range(bblk):  # static unroll; Mosaic pipelines across programs
-        q = q_ref[i, 0]    # [N, g*d]
+        # pre-scale q once ([N, gd]) instead of scaling s ([g*N, N]) — g x
+        # less VPU work (the scale distributes through the dot)
+        q = (q_ref[i, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
         k = k_ref[i, 0]
         v = v_ref[i, 0]
         q_bd = jnp.where(
@@ -80,7 +82,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, g, d, bblk):
             q_bd, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [g*N, N] — per-head scores stacked along rows
-        s = s * scale + bias
+        s = s + bias
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -88,15 +90,26 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, g, d, bblk):
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [g*N, g*d]; row-block j valid only in lane-block j
-        o = jnp.where(qmask, o, 0.0).reshape(g, n, gd).sum(0)
-        out_ref[i, 0] = o.astype(out_ref.dtype)
+        # head j's output lives at (row-block j, lane-block j): static 2-D
+        # diagonal slices (g tiny [N, d] copies) beat the masked full-tensor
+        # reduction (3 passes over [g*N, gd]); plain slices — Mosaic cannot
+        # lower >2-D vector reshapes on hardware
+        o_merged = jnp.concatenate(
+            [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)], axis=-1
+        )
+        out_ref[i, 0] = o_merged.astype(out_ref.dtype)
 
 
 def _pick_bblk(b: int, n: int, gd: int, itemsize: int) -> int:
-    """Largest batch block whose q/k/v/out VMEM blocks stay under budget."""
+    """Largest batch block whose q/k/v/out VMEM blocks stay under budget.
+
+    Bigger blocks amortize per-program overhead and the bias DMA; v5e has
+    128 MB VMEM so a ~24 MB double-buffered budget is comfortable next to
+    the [g*N, N] score intermediates.
+    """
     per_image = 4 * n * max(gd, 128) * itemsize  # q, k, v, out (lane-padded)
-    budget = 6 << 20  # ~6 MB across the double-buffered blocks
-    bblk = max(1, min(8, budget // (2 * per_image)))
+    budget = 10 << 20  # the 16 MB scoped-vmem limit also holds the unrolled
+    bblk = max(1, min(16, budget // (2 * per_image)))  # loop's score temps
     while b % bblk:
         bblk -= 1
     return bblk
