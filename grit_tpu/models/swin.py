@@ -65,6 +65,23 @@ class Mlp(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense-compatible naming/init — lets a
+    kernel path consume the same checkpoint leaves the Dense path creates."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     dim: int
     window: int
@@ -75,12 +92,24 @@ class WindowAttention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, bias_mask=None, *, deterministic=True, n_windows=None):
-        """x: [B*nW, N, C] with N = window²; bias_mask: [nW, N, N] additive or None."""
-        b_, n, c = x.shape
+    def __call__(self, x, bias_mask=None, *, deterministic=True, n_windows=None,
+                 x_map=None):
+        """x: [B*nW, N, C] with N = window²; bias_mask: [nW, N, N] additive or None.
+
+        ``x_map`` selects the whole-block kernel path: pass the
+        un-partitioned [B, Hp, Wp, C] map (padded + pre-rolled) and the qkv
+        projection, window partition (via BlockSpec DMA), attention, output
+        projection and window reverse all run in one Pallas kernel; returns
+        [B, Hp, Wp, C].  Parameter names/shapes are identical to the
+        standard path, so checkpoints are interchangeable.
+        """
         h = self.num_heads
+        if x_map is not None:
+            n = self.window * self.window
+            c = x_map.shape[-1]
+        else:
+            b_, n, c = x.shape
         d = c // h
-        qkv_flat = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)  # [B*nW, N, 3C]
 
         table = self.param(
             "relative_position_bias_table",
@@ -89,6 +118,26 @@ class WindowAttention(nn.Module):
         )
         rel_idx = relative_position_index((self.window, self.window))  # [N, N]
         bias = table[rel_idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+
+        if x_map is not None:
+            from grit_tpu.ops.window_attention import fused_block_attention
+
+            if bias_mask is not None:
+                combined = (
+                    bias[None].astype(jnp.float32)
+                    + bias_mask[:, None].astype(jnp.float32)
+                )
+            else:
+                combined = bias[None].astype(jnp.float32)
+            wqkv, bqkv = _DenseParams(3 * c, c, name="qkv")()
+            wproj, bproj = _DenseParams(c, c, name="proj")()
+            out = fused_block_attention(
+                x_map, wqkv, bqkv, wproj, bproj, combined,
+                scale=d ** -0.5, num_heads=h, window=self.window,
+            )
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+        qkv_flat = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)  # [B*nW, N, 3C]
 
         # the kernel pair (fused fwd + fused flash-style bwd) covers training
         # too; attention dropout would need the probability matrix, so fall
@@ -170,16 +219,22 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
-        windows = window_partition(x, self.window)
-        attn_out = WindowAttention(
+        attn = WindowAttention(
             self.dim, self.window, self.num_heads,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             fused=self.fused_attn, dtype=self.dtype, name="attn",
-        )(
-            windows, mask, deterministic=deterministic,
-            n_windows=(hp // self.window) * (wp // self.window),
         )
-        x = window_reverse(attn_out, self.window, hp, wp)
+        if self.fused_attn and deterministic:
+            # eval path: whole-block kernel on the un-partitioned map — the
+            # partition/reverse transposes become BlockSpec DMA
+            x = attn(None, mask, deterministic=True, x_map=x)
+        else:
+            windows = window_partition(x, self.window)
+            attn_out = attn(
+                windows, mask, deterministic=deterministic,
+                n_windows=(hp // self.window) * (wp // self.window),
+            )
+            x = window_reverse(attn_out, self.window, hp, wp)
 
         if self.shift > 0:
             x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))

@@ -325,3 +325,174 @@ def _bwd(scale, num_heads, res, gout):
 
 
 fused_window_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-block attention for the deterministic (eval) path:
+#   qkv projection + window partition + attention + output projection +
+#   window reverse in ONE kernel over the un-partitioned [B, Hp, Wp, C] map.
+#
+# The window partition/reverse transposes disappear into the BlockSpec DMA
+# (a window IS a rectangular [win, win, C] tile of the feature map), and the
+# 3C qkv tensor + the attention inputs/outputs never round-trip HBM.  Head
+# groups are a grid dimension (fastest-varying) accumulating the per-group
+# partial projections into an f32 VMEM scratch; the x block is DMA'd once
+# per (batch-block, window) since its index is constant across groups.
+# ---------------------------------------------------------------------------
+
+
+def _block_kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wp_ref, bp_ref, bias_ref, out_ref, acc_ref,
+    *, scale, g, d, bblk, n_groups, win,
+):
+    """One (batch-block, window, head-group) program.
+
+    x/out refs: [bblk, win, win, C]; w{q,k,v}: [C, g*d]; wp: [g*d, C];
+    b{q,k,v}: [1, g*d]; bp: [1, C]; bias: [1, g, N, N] fp32;
+    acc (scratch): [bblk, N, C] fp32 partial projection accumulator.
+    """
+    n = win * win
+    c = x_ref.shape[5]  # block is [bblk, 1, win, 1, win, C]
+    gd = g * d
+    hg = pl.program_id(2)
+    bias = bias_ref[0].reshape(g * n, n)
+
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 0) // n
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
+    qmask = row_blk == col_blk
+
+    for i in range(bblk):
+        # [1, win, 1, win, C] block -> [win, win, C] -> [N, C] token merge
+        # (both are pure views; Mosaic rejects >2-D vector reshapes only)
+        xt = x_ref[i, 0, :, 0].reshape(n, c)
+
+        def proj(w_ref_, b_ref_):
+            y = jax.lax.dot_general(
+                xt, w_ref_[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_ref_[0][None, :]
+            return y
+
+        q = (proj(wq_ref, bq_ref) * scale).astype(xt.dtype)  # [N, gd]
+        k = proj(wk_ref, bk_ref).astype(xt.dtype)
+        v = proj(wv_ref, bv_ref).astype(xt.dtype)
+
+        q_bd = jnp.where(
+            qmask,
+            jnp.broadcast_to(q[None], (g, n, gd)).reshape(g * n, gd),
+            jnp.zeros((), q.dtype),
+        )
+        s = jax.lax.dot_general(
+            q_bd, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [g*N, gd]
+        o_m = jnp.concatenate(
+            [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)], axis=-1
+        ).astype(xt.dtype)  # [N, gd]
+        part = jax.lax.dot_general(
+            o_m, wp_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, C]
+
+        @pl.when(hg == 0)
+        def _init():
+            acc_ref[i] = part
+
+        @pl.when(hg > 0)
+        def _acc():
+            acc_ref[i] = acc_ref[i] + part
+
+        @pl.when(hg == n_groups - 1)
+        def _emit():
+            out_ref[i, 0, :, 0] = (
+                acc_ref[i] + bp_ref[0][None, :]
+            ).astype(out_ref.dtype).reshape(win, win, c)
+
+
+def _pick_block_bblk(b: int, n: int, c: int, itemsize: int) -> int:
+    # x + out double-buffered (itemsize) + f32 scratch, per image
+    per_image = n * c * (2 * 2 * itemsize + 4)
+    budget = 10 << 20
+    bblk = max(1, min(16, budget // per_image))
+    while b % bblk:
+        bblk -= 1
+    return bblk
+
+
+def fused_block_attention(
+    x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads, window,
+):
+    """x: [B, Hp, Wp, C] (LN'd, padded, pre-rolled when shifted);
+    wqkv: [C, 3C]; bqkv: [3C]; wproj: [C, C]; bproj: [C];
+    bias: [M, h, N, N] (M == nW or 1).  Returns the pre-residual projected
+    attention output, position-aligned with ``x``.
+    """
+    b, hp, wp_, c = x.shape
+    h = num_heads
+    d = c // h
+    n = window * window
+    nwy, nwx = hp // window, wp_ // window
+    nw = nwy * nwx
+    m = bias.shape[0]
+
+    g = max(1, min(h, 128 // max(d, 1)))
+    while h % g:
+        g -= 1
+    gd = g * d
+    n_groups = h // g
+
+    wq, wk, wv = wqkv[:, :c], wqkv[:, c:2 * c], wqkv[:, 2 * c:]
+    bq, bk, bv = bqkv[None, :c], bqkv[None, c:2 * c], bqkv[None, 2 * c:]
+
+    bblk = _pick_block_bblk(b, n, c, x.dtype.itemsize)
+    kernel = functools.partial(
+        _block_kernel, scale=scale, g=g, d=d, bblk=bblk,
+        n_groups=n_groups, win=window,
+    )
+
+    # window tiles as blocks: split H/W into (n_windows, window) OUTSIDE (a
+    # free view) so the block's last two dims are exact array dims — the
+    # Pallas TPU (8, 128)-divisibility rule only binds the trailing two
+    x6 = x.reshape(b, nwy, window, nwx, window, c)
+    x_spec = pl.BlockSpec(
+        (bblk, 1, window, 1, window, c),
+        lambda bb, w, hg, _nwx=nwx: (bb, w // _nwx, 0, w % _nwx, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    wcol_spec = pl.BlockSpec(
+        (c, gd), lambda bb, w, hg: (0, hg), memory_space=pltpu.VMEM)
+    bcol_spec = pl.BlockSpec(
+        (1, gd), lambda bb, w, hg: (0, hg), memory_space=pltpu.VMEM)
+    wrow_spec = pl.BlockSpec(
+        (gd, c), lambda bb, w, hg: (hg, 0), memory_space=pltpu.VMEM)
+    bp_spec = pl.BlockSpec(
+        (1, c), lambda bb, w, hg: (0, 0), memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(
+        (1, g, n, n), lambda bb, w, hg, _m=m: (w % _m, hg, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    out6 = pl.pallas_call(
+        kernel,
+        grid=(b // bblk, nw, n_groups),  # head groups fastest: x/out blocks
+        in_specs=[x_spec, wcol_spec, wcol_spec, wcol_spec,  # stay resident,
+                  bcol_spec, bcol_spec, bcol_spec,          # scratch accumulates
+                  wrow_spec, bp_spec, bias_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x6.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((bblk, n, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nw * n * (4 * c * c + 2 * g * (h // g) * n * d * 2),
+            bytes_accessed=(2 * x.size + m * h * n * n * 4),
+            transcendentals=b * nw * h * n * n,
+        ),
+    )(x6, wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias.astype(jnp.float32))
+    return out6.reshape(b, hp, wp_, c)

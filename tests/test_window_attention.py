@@ -78,12 +78,14 @@ def test_swin_model_fused_flag_parity():
     """Tiny Swin with fused_attn on (interpret) vs off — same outputs."""
     from grit_tpu.models.swin import SwinTransformer
 
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
-    m_off = SwinTransformer(embed_dim=8, depths=(1, 1), num_heads=(2, 2), window=4,
+    # depths (2, 2): the second block of each stage is SHIFTED, covering the
+    # pre-rolled + masked path of the whole-block kernel too
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 48, 3))
+    m_off = SwinTransformer(embed_dim=8, depths=(2, 2), num_heads=(2, 2), window=4,
                             drop_path_rate=0.0, pos_dim=16, fused_attn=False)
     params = m_off.init(jax.random.PRNGKey(1), x)
     outs_off = m_off.apply(params, x)
-    m_on = SwinTransformer(embed_dim=8, depths=(1, 1), num_heads=(2, 2), window=4,
+    m_on = SwinTransformer(embed_dim=8, depths=(2, 2), num_heads=(2, 2), window=4,
                            drop_path_rate=0.0, pos_dim=16, fused_attn=True)
     with _interp_patch():
         outs_on = m_on.apply(params, x)
