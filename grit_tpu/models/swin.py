@@ -82,6 +82,31 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LayerNormParams(nn.Module):
+    """LayerNorm-compatible param container for kernel paths."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class _MlpParams(nn.Module):
+    """Mlp-compatible (fc1/fc2) param container for kernel paths."""
+
+    hidden: int
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.hidden, self.dim, name="fc1")()
+        w2, b2 = _DenseParams(self.dim, self.hidden, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class WindowAttention(nn.Module):
     dim: int
     window: int
@@ -244,8 +269,17 @@ class SwinBlock(nn.Module):
 
         rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.fused_attn and deterministic:
+            # LN2 + fc1 + exact-GELU + fc2 + residual in one VMEM-resident
+            # kernel (the [rows, 4C] GELU intermediate never touches HBM)
+            from grit_tpu.ops.window_attention import fused_mlp
+
+            lns, lnb = _LayerNormParams(self.dim, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(hidden, self.dim, name="mlp")()
+            return fused_mlp(x, lns, lnb, w1, b1, w2, b2, eps=LN_EPS)
         mlp_out = Mlp(
-            int(self.dim * self.mlp_ratio), self.dim, self.drop, dtype=self.dtype, name="mlp"
+            hidden, self.dim, self.drop, dtype=self.dtype, name="mlp"
         )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), deterministic=deterministic)
         rng2 = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         return x + drop_path(mlp_out, self.drop_path_rate, deterministic, rng2)

@@ -496,3 +496,81 @@ def fused_block_attention(
         ),
     )(x6, wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias.astype(jnp.float32))
     return out6.reshape(b, hp, wp_, c)
+
+
+# ---------------------------------------------------------------------------
+# Fused MLP (LN2 + fc1 + exact-GELU + fc2 + residual) for the deterministic
+# path.  Saves the [rows, 4C] GELU intermediate's HBM round trip and the
+# separate LayerNorm pass.  GELU uses an Abramowitz-Stegun 7.1.26 erf
+# (max abs err 1.5e-7 — far below bf16 resolution; Mosaic has no erf
+# primitive).
+# ---------------------------------------------------------------------------
+
+
+def _erf(x):
+    # A&S 7.1.26 rational approximation, odd-extended
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, *, eps):
+    xf = x_ref[...].astype(jnp.float32)  # [R, C]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu  # fast variance
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * lns_ref[0][None, :] + lnb_ref[0][None, :]).astype(x_ref.dtype)
+    h = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0][None, :]
+    h = (h * 0.5 * (1.0 + _erf(h * 0.7071067811865476))).astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0][None, :]
+    out_ref[...] = (xf + y).astype(out_ref.dtype)
+
+
+def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-5):
+    """x: [B, L, C] -> x + fc2(gelu(fc1(LN(x)))) in one VMEM-resident pass."""
+    bsz, L, c = x.shape
+    hid = w1.shape[1]
+    rows = bsz * L
+    r = 512
+    while rows % r:
+        r //= 2
+    x2 = x.reshape(rows, c)
+
+    row_spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def const2(a):
+        a2 = a[None] if a.ndim == 1 else a
+        return a2, pl.BlockSpec(a2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    lns2, lns_spec = const2(ln_scale)
+    lnb2, lnb_spec = const2(ln_bias)
+    b1_2, b1_spec = const2(b1)
+    b2_2, b2_spec = const2(b2)
+    w1_spec = pl.BlockSpec(w1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec(w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps),
+        grid=(rows // r,),
+        in_specs=[row_spec, lns_spec, lnb_spec, w1_spec, b1_spec, w2_spec, b2_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * c * hid,
+            bytes_accessed=2 * rows * c * x.dtype.itemsize,
+            transcendentals=rows * hid,
+        ),
+    )(x2, lns2, lnb2, w1, b1_2, w2, b2_2)
+    return out.reshape(bsz, L, c)
