@@ -102,35 +102,64 @@ def _prepare_indices(spatial_shapes, sampling_locations, attention_weights):
     )
     w_total = jnp.where(valid, wgt, 0.0) * attention_weights[..., None]
     c = L * p * 4
-    return flat.reshape(n, lq, m, c), w_total.reshape(n, lq, m, c)
+
+    # per-POINT base = the UNclipped top-left corner's flat index.  The fwd
+    # kernel compares once per point over a left-extended window and derives
+    # the other three corners' one-hots by static slices (offsets 0 / 1 /
+    # W / W+1 from the corner order TL,TR,BL,BR).  Out-of-bounds corners
+    # carry zero weight, so clipping the base into the extended window only
+    # needs to be arithmetic-safe, never semantic.
+    x0 = ix[..., 0]  # [N, Lq, M, L, P] unclipped floor coords
+    y0 = iy[..., 0]
+    base = (
+        st[None, None, None, :, None]
+        + y0 * ws.astype(np.int32)[None, None, None, :, None]
+        + x0
+    )
+    lo = (st - ws.astype(np.int32) - 1)[None, None, None, :, None]
+    hi = (st + (hs * ws).astype(np.int32))[None, None, None, :, None]
+    base = jnp.clip(base, lo, hi)
+    return (
+        flat.reshape(n, lq, m, c),
+        w_total.reshape(n, lq, m, c),
+        base.reshape(n, lq, m, L * p),
+    )
 
 
-def _gather_matmul_kernel(idx_ref, w_ref, value_ref, out_ref, *, spans, spl):
+def _gather_matmul_kernel(base_ref, w_ref, value_ref, out_ref, *, spans, npts, wdims):
     """One (batch*head) program: out[q, d] = sum_c w[q, c] * value[idx[q, c], d].
 
-    The C = L*P*4 corner slots are grouped BY LEVEL: each level's P*4 slots
-    accumulate (VPU compare-selects) into ONE selection matrix [Lq, S_l] that
-    contracts once with that level's slab slice on the MXU.  Versus one dot
-    per slot over the full slab this cuts MXU work 16x and VPU compares 4x
-    for GRIT's L=P=4 — the dense-contraction trick only pays if the
-    contraction stays level-local.
+    Corner slots are grouped BY LEVEL: each level's points accumulate (VPU
+    compare-selects) into ONE selection matrix [Lq, S_l] that contracts once
+    with that level's slab slice on the MXU — the dense-contraction trick
+    only pays if the contraction stays level-local.
+
+    Per point all four corner one-hots derive from ONE base index: corner
+    delta in (0, 1, W, W+1) matches where ``col - delta == base``, so the
+    per-corner index slices and compares of the old per-corner layout
+    collapse into fused compare-selects against four PRE-SHIFTED column
+    tensors shared by every point of the level.
     """
-    lq = idx_ref.shape[1]
+    lq = base_ref.shape[1]
     d = value_ref.shape[2]
     value = value_ref[0]
-    idx = idx_ref[0]   # [Lq, C] level-aligned flat indices
-    wts = w_ref[0]     # [Lq, C]
+    base = base_ref[0]  # [Lq, L*P] unclipped top-left corner indices
+    wts = w_ref[0]      # [Lq, L*P*4] corner weights (TL, TR, BL, BR)
 
     acc = jnp.zeros((lq, d), jnp.float32)
     # statically unrolled (Mosaic cannot dynamically slice the lane dim, and
     # static slices let it pipeline the per-level contractions back-to-back)
     for lvl, (st, sl) in enumerate(spans):
+        wl = wdims[lvl]
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, sl), 1) + st
+        shifted = [col_ids - delta for delta in (0, 1, wl, wl + 1)]
         selm = jnp.zeros((lq, sl), jnp.float32)
-        for ci in range(lvl * spl, (lvl + 1) * spl):
-            sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)  # [Lq, 1]
-            ww = jax.lax.slice_in_dim(wts, ci, ci + 1, axis=1)   # [Lq, 1]
-            selm = selm + jnp.where(col_ids == sel, ww.astype(jnp.float32), 0.0)
+        for pt in range(lvl * npts, (lvl + 1) * npts):
+            b = jax.lax.slice_in_dim(base, pt, pt + 1, axis=1)   # [Lq, 1]
+            for ci in range(4):
+                ww = jax.lax.slice_in_dim(wts, pt * 4 + ci, pt * 4 + ci + 1, axis=1)
+                selm = selm + jnp.where(
+                    shifted[ci] == b, ww.astype(jnp.float32), 0.0)
         vsl = jax.lax.slice_in_dim(value, st, st + sl, axis=0)   # [S_l, D]
         # HIGHEST precision: fp32-true accumulation (the selection contraction
         # — default bf16 MXU passes would round the values)
@@ -188,16 +217,18 @@ def _gather_bwd_kernel(
     dw_ref[0] = dw.astype(dw_ref.dtype)
 
 
-def _gather_call(idx_g, w_g, value_g, spans, spl):
-    g, lq, c = idx_g.shape
+def _gather_call(base_g, w_g, value_g, spans, spl, wdims):
+    g, lq, c = w_g.shape
     s_pad, d = value_g.shape[1], value_g.shape[2]
     s = sum(sz for _, sz in spans)
-    kernel = functools.partial(_gather_matmul_kernel, spans=spans, spl=spl)
+    kernel = functools.partial(
+        _gather_matmul_kernel, spans=spans, npts=spl // 4, wdims=wdims)
+    cp = base_g.shape[2]
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -205,24 +236,24 @@ def _gather_call(idx_g, w_g, value_g, spans, spl):
         out_shape=jax.ShapeDtypeStruct((g, lq, d), value_g.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * g * lq * s * d,
-            bytes_accessed=4 * (value_g.size + idx_g.size + w_g.size + g * lq * d),
+            bytes_accessed=4 * (value_g.size + base_g.size + w_g.size + g * lq * d),
             transcendentals=0,
         ),
-    )(idx_g, w_g, value_g)
+    )(base_g, w_g, value_g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _gather_op(idx_g, w_g, value_g, spans, spl):
-    return _gather_call(idx_g, w_g, value_g, spans, spl)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gather_op(idx_g, base_g, w_g, value_g, spans, spl, wdims):
+    return _gather_call(base_g, w_g, value_g, spans, spl, wdims)
 
 
-def _gather_fwd(idx_g, w_g, value_g, spans, spl):
-    out = _gather_call(idx_g, w_g, value_g, spans, spl)
-    return out, (idx_g, w_g, value_g)
+def _gather_fwd(idx_g, base_g, w_g, value_g, spans, spl, wdims):
+    out = _gather_call(base_g, w_g, value_g, spans, spl, wdims)
+    return out, (idx_g, base_g, w_g, value_g)
 
 
-def _gather_bwd(spans, spl, residuals, dout):
-    idx_g, w_g, value_g = residuals
+def _gather_bwd(spans, spl, wdims, residuals, dout):
+    idx_g, base_g, w_g, value_g = residuals
     g, lq, c = idx_g.shape
     s_pad, d = value_g.shape[1], value_g.shape[2]
     kernel = functools.partial(_gather_bwd_kernel, spans=spans, spl=spl)
@@ -250,7 +281,8 @@ def _gather_bwd(spans, spl, residuals, dout):
         ),
     )(idx_g, w_g, value_g, dout)
     didx = np.zeros(idx_g.shape, jax.dtypes.float0)
-    return didx, dw, dval
+    dbase = np.zeros(base_g.shape, jax.dtypes.float0)
+    return didx, dbase, dw, dval
 
 
 _gather_op.defvjp(_gather_fwd, _gather_bwd)
@@ -261,12 +293,13 @@ def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights
     _, lq, _, L, p, _ = sampling_locations.shape
     c = L * p * 4
 
-    flat, w_total = _prepare_indices(
+    flat, w_total, base = _prepare_indices(
         spatial_shapes, sampling_locations, attention_weights
     )
     g = n * m
     idx_g = flat.transpose(0, 2, 1, 3).reshape(g, lq, c)
     w_g = w_total.transpose(0, 2, 1, 3).reshape(g, lq, c)
+    base_g = base.transpose(0, 2, 1, 3).reshape(g, lq, L * p)
     value_g = value.transpose(0, 2, 1, 3).reshape(g, s, d)
 
     starts, sizes, s_pad = _aligned_spans(spatial_shapes)
@@ -282,7 +315,10 @@ def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights
             segs.append(seg)
         value_g = jnp.concatenate(segs, axis=1)
 
-    out = _gather_op(idx_g, w_g, value_g, tuple(zip(starts, sizes)), p * 4)
+    wdims = tuple(int(w_) for _, w_ in spatial_shapes)
+    out = _gather_op(
+        idx_g, base_g, w_g, value_g, tuple(zip(starts, sizes)), p * 4, wdims
+    )
     return out.reshape(n, m, lq, d).transpose(0, 2, 1, 3).reshape(n, lq, m * d)
 
 
