@@ -225,7 +225,14 @@ class SwinBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, hw: tuple[int, int], deterministic: bool = True):
+    def __call__(self, x, hw: tuple[int, int], deterministic: bool = True,
+                 eval_mode: bool = None):
+        # eval_mode gates the non-differentiable whole-block/MLP kernels.
+        # It is NOT the same as ``deterministic``: frozen Swin stages run
+        # with deterministic=True during TRAINING (reference eval-mode
+        # freezing) yet still sit inside a differentiated graph.
+        if eval_mode is None:
+            eval_mode = deterministic
         h, w = hw
         b, L, c = x.shape
         shortcut = x
@@ -249,7 +256,7 @@ class SwinBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             fused=self.fused_attn, dtype=self.dtype, name="attn",
         )
-        if self.fused_attn and deterministic:
+        if self.fused_attn and eval_mode:
             # eval path: whole-block kernel on the un-partitioned map — the
             # partition/reverse transposes become BlockSpec DMA
             x = attn(None, mask, deterministic=True, x_map=x)
@@ -270,7 +277,7 @@ class SwinBlock(nn.Module):
         rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
         hidden = int(self.dim * self.mlp_ratio)
-        if self.fused_attn and deterministic:
+        if self.fused_attn and eval_mode:
             # LN2 + fc1 + exact-GELU + fc2 + residual in one VMEM-resident
             # kernel (the [rows, 4C] GELU intermediate never touches HBM)
             from grit_tpu.ops.window_attention import fused_mlp
@@ -323,14 +330,17 @@ class BasicLayer(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, hw: tuple[int, int], *, deterministic=True):
+    def __call__(self, x, hw: tuple[int, int], *, deterministic=True,
+                 eval_mode: bool = None):
+        if eval_mode is None:
+            eval_mode = deterministic
         h, w = hw
         block_cls = SwinBlock
         if self.use_checkpoint:
             # activation rematerialization (the reference's use_checkpoint,
             # swin_model.py:445-448): trade recompute for HBM during training.
-            # hw and deterministic are static (indices count self as 0).
-            block_cls = nn.remat(SwinBlock, static_argnums=(2, 3))
+            # hw, deterministic, eval_mode are static (self counts as 0).
+            block_cls = nn.remat(SwinBlock, static_argnums=(2, 3, 4))
         for i in range(self.depth):
             x = block_cls(
                 dim=self.dim,
@@ -343,7 +353,7 @@ class BasicLayer(nn.Module):
                 fused_attn=self.fused_attn,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, hw, deterministic)
+            )(x, hw, deterministic, eval_mode)
         x_down = PatchMerging(self.dim, self.out_dim, dtype=self.dtype, name="downsample")(x, hw)
         return x, x_down, ((h + 1) // 2, (w + 1) // 2)
 
@@ -418,7 +428,8 @@ class SwinTransformer(nn.Module):
                 fused_attn=self.fused_attn,
                 dtype=self.dtype,
                 name=f"layers_{stage}",
-            )(x, hw, deterministic=deterministic or stage_frozen)
+            )(x, hw, deterministic=deterministic or stage_frozen,
+              eval_mode=deterministic)
             if stage_frozen:
                 # frozen stage incl. its PatchMerging (reference freezes the
                 # whole self.layers[i] module) — backward stops here

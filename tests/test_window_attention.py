@@ -91,3 +91,36 @@ def test_swin_model_fused_flag_parity():
         outs_on = m_on.apply(params, x)
     for a, b_ in zip(outs_on, outs_off):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_training_grads_with_frozen_stages():
+    """Frozen Swin stages run deterministic=True during TRAINING (reference
+    eval-mode freezing) — the non-differentiable whole-block kernel must NOT
+    activate there (it is gated on eval_mode, threaded separately).  This
+    crashed with a pallas jvp AssertionError before the eval_mode split."""
+    from grit_tpu.models.swin import SwinTransformer
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 48, 3))
+    mk = dict(embed_dim=8, depths=(2, 2), num_heads=(2, 2), window=4,
+              drop_path_rate=0.0, pos_dim=16, frozen_stages=2)
+    m_fused = SwinTransformer(**mk, fused_attn=True)
+    m_plain = SwinTransformer(**mk, fused_attn=False)
+    params = m_plain.init(jax.random.PRNGKey(1), x)
+
+    def loss(m):
+        def f(p):
+            outs = m.apply(p, x, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+        return f
+
+    with _interp_patch():
+        g_fused = jax.grad(loss(m_fused))(params)   # must not crash
+    g_plain = jax.grad(loss(m_plain))(params)
+    # drop_rate/attn_drop are 0 -> the fused pair path is deterministic-equal
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_fused)[0],
+        jax.tree_util.tree_flatten_with_path(g_plain)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(p1))
