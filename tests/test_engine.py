@@ -275,3 +275,44 @@ class TestSCSTEstimatorEquivalence:
         # and the live positions must agree to numerics (cached incremental
         # decode vs full teacher-forced attention)
         np.testing.assert_allclose(re_np, beam_np, rtol=2e-4, atol=2e-5)
+
+
+class TestSCSTRaggedPadding:
+    def test_padded_rows_leave_loss_and_grads_exact(self):
+        """A ragged SC batch arrives zero-padded (mesh.shard_batch); with
+        reward 0 == baseline 0 on the padded rows and the sum/n_valid
+        normalization, the loss and update must equal the unpadded batch's."""
+        from grit_tpu.engine.scst import make_scst_update_step
+
+        model = tiny_model()
+        samples = jnp.asarray(np.random.RandomState(0).rand(3, 6), jnp.float32)
+        seqs = jnp.asarray(np.random.RandomState(1).randint(4, 11, (3, 2, 4)), jnp.int32)
+        rewards = jnp.asarray([[0.9, 0.1], [0.5, 0.7], [0.2, 0.8]], jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), samples, seqs[:, 0])
+        tx, labels = build_optimizer(params)
+        upd = make_scst_update_step(
+            model, tx, labels, bos_idx=2, eos_idx=3, model_lr=1e-2, backbone_lr=1e-2,
+        )
+
+        s0 = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+        ref_state, ref_metrics = upd(s0, samples, seqs, rewards,
+                                     jnp.float32(3), jax.random.PRNGKey(5))
+
+        pad_s = jnp.concatenate([samples, jnp.zeros((1, 6))], 0)
+        pad_q = jnp.concatenate([seqs, jnp.full((1, 2, 4), 1, jnp.int32)], 0)
+        pad_r = jnp.concatenate([rewards, jnp.zeros((1, 2))], 0)
+        # the update step donates its state: fresh buffers for run 2
+        s1 = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+        pad_state, pad_metrics = upd(s1, pad_s, pad_q, pad_r,
+                                     jnp.float32(3), jax.random.PRNGKey(5))
+
+        np.testing.assert_allclose(float(pad_metrics["loss"]),
+                                   float(ref_metrics["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(float(pad_metrics["reward"]),
+                                   float(ref_metrics["reward"]), rtol=1e-6)
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ref_state.params)[0],
+            jax.tree_util.tree_flatten_with_path(pad_state.params)[0],
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7, err_msg=str(p1))
