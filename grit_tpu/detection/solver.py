@@ -103,6 +103,19 @@ class Trainer(SolverBase):
             self.rng, step_rng = jax.random.split(self.rng)
             images, targets = batch["samples"], batch["targets"]
             if self.mesh is not None:
+                # detection TRAINING must never pad a ragged batch: a padded
+                # zero image would add background focal-loss terms over all
+                # of its queries (the criterion can't tell a fake image from
+                # a real image with no ground truth).  The train loader drops
+                # ragged tails (train_detector.py batches()); enforce it.
+                n_data = self.mesh.shape.get("data", 1)
+                b = jax.tree.leaves(images)[0].shape[0]
+                if b % n_data:
+                    raise ValueError(
+                        f"detection train batch of {b} is not divisible by the "
+                        f"data axis ({n_data}); use a loader that drops ragged "
+                        "tails — padding would bias the focal loss"
+                    )
                 images = shard_batch(images, self.mesh)
                 targets = shard_batch(targets, self.mesh)
             self.state, metrics = self.step_fn(

@@ -79,6 +79,7 @@ def total_epochs(config) -> int:
 
 def train_xe_epoch(
     xe_step, eval_loss_step, state, dataloaders, *, epoch, rng, mesh=None, writer=None,
+    pad_idx: int = 1, bos_idx: int = 2,
 ):
     """One XE epoch + validation loss (caption_engine.py:312-385)."""
     state = state.epoch_tick()  # the reference's epoch-start scheduler.step()
@@ -89,7 +90,8 @@ def train_xe_epoch(
         rng, step_rng = jax.random.split(rng)
         if mesh is not None:
             batch = shard_batch(
-                {"samples": batch["samples"], "captions": batch["captions"]}, mesh
+                {"samples": batch["samples"], "captions": batch["captions"]}, mesh,
+                int_fill=pad_idx, int_first=bos_idx,
             )
         else:
             batch = {"samples": batch["samples"], "captions": batch["captions"]}
@@ -105,7 +107,7 @@ def train_xe_epoch(
     for batch in dataloaders["valid"]:
         b = {"samples": batch["samples"], "captions": batch["captions"]}
         if mesh is not None:
-            b = shard_batch(b, mesh)
+            b = shard_batch(b, mesh, int_fill=pad_idx, int_first=bos_idx)
         val_running += float(eval_loss_step(state.params, b))
         vn += 1
     val_loss = val_running / max(vn, 1)
@@ -118,7 +120,7 @@ def train_xe_epoch(
 
 def train_sc_epoch(
     generate_step, scst_update, eval_loss_step, state, dataloaders, cider, text_field,
-    *, beam_size, epoch, rng, mesh=None,
+    *, beam_size, epoch, rng, mesh=None, pad_idx: int = 1, bos_idx: int = 2,
 ):
     """One SCST epoch (caption_engine.py:388-492) with gen/reward overlap."""
     running = {"loss": 0.0, "reward": 0.0, "reward_baseline": 0.0}
@@ -167,7 +169,7 @@ def train_sc_epoch(
     for batch in dataloaders["valid"]:
         b = {"samples": batch["samples"], "captions": batch["captions"]}
         if mesh is not None:
-            b = shard_batch(b, mesh)
+            b = shard_batch(b, mesh, int_fill=pad_idx, int_first=bos_idx)
         val_running += float(eval_loss_step(state.params, b))
         vn += 1
 

@@ -156,6 +156,11 @@ class WindowAttention(nn.Module):
                 combined = bias[None].astype(jnp.float32)
             wqkv, bqkv = _DenseParams(3 * c, c, name="qkv")()
             wproj, bproj = _DenseParams(c, c, name="proj")()
+            if self.dtype is not None:
+                # match nn.Dense(dtype=...): params cast to the compute dtype
+                # at call time (also halves the per-grid-step weight DMA)
+                wqkv, bqkv = wqkv.astype(self.dtype), bqkv.astype(self.dtype)
+                wproj, bproj = wproj.astype(self.dtype), bproj.astype(self.dtype)
             out = fused_block_attention(
                 x_map, wqkv, bqkv, wproj, bproj, combined,
                 scale=d ** -0.5, num_heads=h, window=self.window,
@@ -284,6 +289,9 @@ class SwinBlock(nn.Module):
 
             lns, lnb = _LayerNormParams(self.dim, name="norm2")()
             w1, b1, w2, b2 = _MlpParams(hidden, self.dim, name="mlp")()
+            if self.dtype is not None:
+                w1, b1 = w1.astype(self.dtype), b1.astype(self.dtype)
+                w2, b2 = w2.astype(self.dtype), b2.astype(self.dtype)
             return fused_mlp(x, lns, lnb, w1, b1, w2, b2, eps=LN_EPS)
         mlp_out = Mlp(
             hidden, self.dim, self.drop, dtype=self.dtype, name="mlp"

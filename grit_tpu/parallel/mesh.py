@@ -73,13 +73,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def pad_to_multiple(tree: Any, multiple: int, int_fill: int = 1) -> Any:
+def pad_to_multiple(
+    tree: Any, multiple: int, int_fill: int = 1, int_first: int = 2
+) -> Any:
     """Zero-pad each leaf's leading axis up to a multiple of ``multiple``.
 
     Integer leaves are filled with ``int_fill`` (default 1 = the vocab's
-    ``<pad>`` id, so padded caption rows carry zero NLL weight — the loss
-    and its gradient are bit-identical to the unpadded batch).  Float and
-    bool leaves pad with zeros (a zero image with an all-valid mask is
+    ``<pad>`` id) EXCEPT the first element of each padded row, which gets
+    ``int_first`` (default 2 = ``<bos>``).  An all-<pad> caption row would
+    mask EVERY self-attention key for its queries and softmax(all -inf) is
+    NaN — one ragged batch would poison the loss and every gradient.  A
+    leading BOS keeps one visible key per row while the shifted NLL targets
+    (``captions[:, 1:]``, all <pad>) still carry zero weight, so the loss
+    and gradients stay bit-identical to the unpadded batch.  For non-caption
+    integer leaves (e.g. padded detection labels) the row is ignored via its
+    own validity mask, so the first-element value is inert.  Float and bool
+    leaves pad with zeros (a zero image with an all-valid mask is
     numerically safe; its outputs carry zero weight downstream).
     """
     if multiple <= 1:
@@ -92,14 +101,18 @@ def pad_to_multiple(tree: Any, multiple: int, int_fill: int = 1) -> Any:
         if rem == 0:
             return x
         arr = np.asarray(x)
-        fill = int_fill if np.issubdtype(arr.dtype, np.integer) else 0
-        block = np.full((rem,) + arr.shape[1:], fill, dtype=arr.dtype)
+        if np.issubdtype(arr.dtype, np.integer):
+            block = np.full((rem,) + arr.shape[1:], int_fill, dtype=arr.dtype)
+            if arr.ndim >= 2 and arr.shape[1] > 0:
+                block[:, 0] = int_first
+        else:
+            block = np.zeros((rem,) + arr.shape[1:], dtype=arr.dtype)
         return np.concatenate([arr, block], axis=0)
 
     return jax.tree.map(pad, tree)
 
 
-def shard_batch(tree: Any, mesh: Mesh, int_fill: int = 1) -> Any:
+def shard_batch(tree: Any, mesh: Mesh, int_fill: int = 1, int_first: int = 2) -> Any:
     """Device-put a host batch with its leading axis split over ``data``.
 
     Batches whose leading axis is not divisible by the data axis (e.g. a
@@ -119,14 +132,14 @@ def shard_batch(tree: Any, mesh: Mesh, int_fill: int = 1) -> Any:
 
     if jax.process_count() > 1:
         local = max(1, n_data // jax.process_count())
-        tree = pad_to_multiple(tree, local, int_fill)
+        tree = pad_to_multiple(tree, local, int_fill, int_first)
 
         def put(x):
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
         return jax.tree.map(put, tree)
 
-    tree = pad_to_multiple(tree, n_data, int_fill)
+    tree = pad_to_multiple(tree, n_data, int_fill, int_first)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 

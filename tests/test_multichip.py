@@ -85,8 +85,9 @@ class TestRaggedBatch:
             assert leaf.shape[0] == 16  # padded to the multiple
             assert not leaf.sharding.is_fully_replicated
             assert leaf.sharding.is_equivalent_to(batch_sharding(mesh), leaf.ndim)
-        # int leaves pad with the <pad> id, float leaves with zeros
-        assert np.asarray(sharded["captions"])[12:].tolist() == [[1] * 5] * 4
+        # int rows pad as [<bos>, <pad>...] (a fully-<pad> row would mask
+        # every self-attention key -> softmax NaN); float leaves pad zeros
+        assert np.asarray(sharded["captions"])[12:].tolist() == [[2] + [1] * 4] * 4
         np.testing.assert_array_equal(np.asarray(sharded["samples"])[12:], 0.0)
 
     def test_val_loss_identical_to_unpadded(self):
@@ -114,3 +115,57 @@ class TestRaggedBatch:
         # padded rows are all-<pad> captions -> zero token weight -> the
         # per-token-normalized loss is unchanged
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@needs_8
+class TestRaggedBatchRealModel:
+    def test_xe_loss_finite_and_exact_through_real_attention(self):
+        """Regression (code review r2): all-<pad> padded caption rows masked
+        every self-attention key and produced NaN loss + NaN grads through
+        the REAL caption generator.  The [BOS, pad...] pad rows must give a
+        finite loss bit-equal to the unpadded batch's."""
+        import sys as _sys
+
+        _sys.path.insert(0, __file__.rsplit("/", 1)[0])
+        from tiny_models import BOS, PAD, tiny_captioner
+
+        from grit_tpu.engine.xe import make_eval_loss_step, make_xe_train_step, TrainState
+        from grit_tpu.engine.optim import build_optimizer
+        from grit_tpu.utils.nested import ImageBatch
+
+        model = tiny_captioner()
+        rng = np.random.RandomState(0)
+        b = 12  # ragged on the 8-device mesh
+        images = ImageBatch(
+            jnp.asarray(rng.rand(b, 32, 32, 3), jnp.float32),
+            jnp.zeros((b, 32, 32), bool),
+        )
+        caps = jnp.asarray(
+            np.concatenate([np.full((b, 1), BOS), rng.randint(4, 40, (b, 4)),
+                            np.full((b, 1), 3)], axis=1), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), images, caps)
+        eval_loss = make_eval_loss_step(model, pad_idx=PAD)
+        want = float(eval_loss(params, {"samples": images, "captions": caps}))
+
+        mesh = make_mesh(n_data=8)
+        with mesh:
+            batch = shard_batch(
+                {"samples": images, "captions": caps}, mesh,
+                int_fill=PAD, int_first=BOS,
+            )
+            got = float(eval_loss(params, batch))
+            assert np.isfinite(got), "padded batch produced non-finite loss"
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
+            # and a full train step must produce finite params everywhere
+            tx, labels = build_optimizer(params)
+            state = TrainState.create(params, tx)
+            sched = dict(num_epochs=2, num_its_per_epoch=10, init_lr=1e-3,
+                         min_lr=1e-4, warmup_init_lr=1e-4)
+            step = make_xe_train_step(model, tx, labels, pad_idx=PAD,
+                                      sched_cfg=sched, backbone_lr=1e-4,
+                                      donate=False)
+            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+            assert np.isfinite(float(metrics["loss"]))
+            for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+                assert np.isfinite(np.asarray(leaf)).all(), str(path)

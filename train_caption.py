@@ -175,6 +175,7 @@ def main(argv=None):
                 state, train_res, rng = train_xe_epoch(
                     xe_step, eval_loss_step, state, dataloaders,
                     epoch=epoch, rng=rng, mesh=mesh, writer=writer,
+                    pad_idx=config.model.pad_idx, bos_idx=config.model.bos_idx,
                 )
             else:
                 if not sc_started:
@@ -192,6 +193,7 @@ def main(argv=None):
                     generate_sc, scst_update, eval_loss_step, state, dataloaders,
                     cider, text_field,
                     beam_size=config.model.beam_size, epoch=epoch, rng=rng, mesh=mesh,
+                    pad_idx=config.model.pad_idx, bos_idx=config.model.bos_idx,
                 )
             dataloaders["train"].set_epoch(epoch)
             dataloaders["train_dict"].set_epoch(epoch)
