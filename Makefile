@@ -1,6 +1,14 @@
 # grit_tpu developer targets
 
-.PHONY: test test-fast bench native clean
+.PHONY: test test-fast bench native parity clean
+
+# Full-size caption fidelity harness vs the torch reference at identical
+# (random) weights — run after ANY model-touching change.  The day real
+# released checkpoints are reachable, swap --random for --ckpt <file> and
+# this same command is the CIDEr-parity acceptance test (VERDICT r2 item 1).
+parity:
+	JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS="" \
+		python tools/checkpoint_parity.py --random --f64
 
 test:
 	python -m pytest tests/ -q

@@ -3,9 +3,11 @@
 Parity: reference engine/caption_engine.py:144-230 (evaluate_metrics) and
 :233-284 (inference_coco_test).
 
-The per-batch wall-clock (with explicit device sync via
-``jax.block_until_ready``) is recorded and printed exactly like the
-reference's throughput metric of record (caption_engine.py:181-192).
+The per-batch wall-clock (with an explicit device sync: ``np.asarray`` of
+the outputs — a real fetch; ``block_until_ready`` is NOT a reliable fence on
+the experimental axon PJRT backend, docs/NOTES.md) is recorded and printed
+exactly like the reference's throughput metric of record
+(caption_engine.py:181-192).
 """
 
 from __future__ import annotations

@@ -499,12 +499,13 @@ BACKBONES = {
 def build_swin(name: str = "swin_base_win7_384_22k", dtype=None, **overrides):
     """Build a backbone by preset name.
 
-    ``fused_attn=True`` selects the Pallas fused window-attention kernel
-    (grit_tpu.ops.window_attention).  Measured on v5e it LOSES to the plain
-    XLA formulation at Swin's window shapes (N=144, d=32: the serialized
-    per-window matmuls are MXU-hostile; XLA's batched einsum keeps the MXU
-    streaming despite paying HBM for the score tensors) — so it stays off by
-    default and exists as a documented, parity-tested experiment.
+    ``fused_attn=True`` selects the Pallas kernel pipeline
+    (grit_tpu.ops.window_attention) and is auto-enabled on TPU by the model
+    builders (models/detector.py).  The v2 block-diagonal head-packing
+    design beats plain XLA on v5e (docs/NOTES.md perf ladder: the round-1
+    per-window v1 kernel lost; v2 and the round-2 whole-block/fused-MLP
+    kernels drove 147->173.5 img/s eval).  On CPU it stays off — interpret
+    mode is test-only.
     """
     spec = dict(BACKBONES[name])
     spec.update(overrides)

@@ -17,9 +17,10 @@ at the natural boundary:
    the slab on the MXU, accumulating ``w * value[idx]`` into [Lq, D].
 
 Redundant FLOPs buy perfect regularity — every "gather" is a dense matmul.
-For GRIT's sizes (Lq=150, L=4, P=4) the op is ~1% of a forward pass either
-way; the XLA fused-gather path (grit_tpu.ops.msda) stays the default and
-this kernel is selected with ``impl='pallas'``.
+This kernel is the DEFAULT on TPU (models/detector.py auto-selects
+``impl='pallas'``; measured 21.2 vs 30-39 ms/call for the XLA gather paths
+at batch 16, docs/NOTES.md); the XLA fused-gather path (grit_tpu.ops.msda)
+remains the CPU default and the parity oracle.
 
 Gradients: the index/weight preparation is plain differentiable XLA, so only
 the gather core carries a ``jax.custom_vjp``.  Its backward is a second

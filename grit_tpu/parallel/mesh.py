@@ -74,22 +74,24 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def pad_to_multiple(
-    tree: Any, multiple: int, int_fill: int = 1, int_first: int = 2
+    tree: Any, multiple: int, int_fill: int = 1, int_first: int | None = None
 ) -> Any:
     """Zero-pad each leaf's leading axis up to a multiple of ``multiple``.
 
     Integer leaves are filled with ``int_fill`` (default 1 = the vocab's
-    ``<pad>`` id) EXCEPT the first element of each padded row, which gets
-    ``int_first`` (default 2 = ``<bos>``).  An all-<pad> caption row would
-    mask EVERY self-attention key for its queries and softmax(all -inf) is
+    ``<pad>`` id).  CAPTION callers must additionally pass
+    ``int_first`` (the ``<bos>`` id): an all-<pad> caption row would mask
+    EVERY self-attention key for its queries and softmax(all -inf) is
     NaN — one ragged batch would poison the loss and every gradient.  A
     leading BOS keeps one visible key per row while the shifted NLL targets
     (``captions[:, 1:]``, all <pad>) still carry zero weight, so the loss
-    and gradients stay bit-identical to the unpadded batch.  For non-caption
-    integer leaves (e.g. padded detection labels) the row is ignored via its
-    own validity mask, so the first-element value is inert.  Float and bool
-    leaves pad with zeros (a zero image with an all-valid mask is
-    numerically safe; its outputs carry zero weight downstream).
+    and gradients stay bit-identical to the unpadded batch.  ``int_first``
+    is an explicit opt-in (default None = plain fill) precisely because it
+    bakes a vocab convention into the padded rows: non-caption integer
+    leaves (detection labels, token-type ids, ...) must NOT receive a
+    spurious BOS at column 0.  Float and bool leaves pad with zeros (a zero
+    image with an all-valid mask is numerically safe; its outputs carry
+    zero weight downstream).
     """
     if multiple <= 1:
         return tree
@@ -103,7 +105,7 @@ def pad_to_multiple(
         arr = np.asarray(x)
         if np.issubdtype(arr.dtype, np.integer):
             block = np.full((rem,) + arr.shape[1:], int_fill, dtype=arr.dtype)
-            if arr.ndim >= 2 and arr.shape[1] > 0:
+            if int_first is not None and arr.ndim >= 2 and arr.shape[1] > 0:
                 block[:, 0] = int_first
         else:
             block = np.zeros((rem,) + arr.shape[1:], dtype=arr.dtype)
@@ -112,7 +114,9 @@ def pad_to_multiple(
     return jax.tree.map(pad, tree)
 
 
-def shard_batch(tree: Any, mesh: Mesh, int_fill: int = 1, int_first: int = 2) -> Any:
+def shard_batch(
+    tree: Any, mesh: Mesh, int_fill: int = 1, int_first: int | None = None
+) -> Any:
     """Device-put a host batch with its leading axis split over ``data``.
 
     Batches whose leading axis is not divisible by the data axis (e.g. a
@@ -131,7 +135,15 @@ def shard_batch(tree: Any, mesh: Mesh, int_fill: int = 1, int_first: int = 2) ->
     n_data = mesh.shape.get("data", 1)
 
     if jax.process_count() > 1:
-        local = max(1, n_data // jax.process_count())
+        if n_data % jax.process_count():
+            raise ValueError(
+                f"data axis ({n_data}) must divide evenly across "
+                f"{jax.process_count()} processes: every process pads its "
+                "local slice to the same per-process device count, and an "
+                "uneven split would hand make_array_from_process_local_data "
+                "inconsistently sized slices."
+            )
+        local = n_data // jax.process_count()
         tree = pad_to_multiple(tree, local, int_fill, int_first)
 
         def put(x):

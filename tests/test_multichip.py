@@ -80,7 +80,7 @@ class TestRaggedBatch:
             "samples": np.random.RandomState(0).rand(12, 6).astype(np.float32),
             "captions": np.asarray([[2, 5, 6, 3, 1]] * 12, np.int32),
         }
-        sharded = shard_batch(batch, mesh)
+        sharded = shard_batch(batch, mesh, int_fill=1, int_first=2)
         for leaf in jax.tree.leaves(sharded):
             assert leaf.shape[0] == 16  # padded to the multiple
             assert not leaf.sharding.is_fully_replicated
@@ -110,7 +110,8 @@ class TestRaggedBatch:
 
         mesh = make_mesh(n_data=8)
         with mesh:
-            batch = shard_batch({"samples": samples, "captions": caps}, mesh)
+            batch = shard_batch({"samples": samples, "captions": caps}, mesh,
+                                int_fill=1, int_first=2)
             got = float(eval_loss(params, batch))
         # padded rows are all-<pad> captions -> zero token weight -> the
         # per-token-normalized loss is unchanged
