@@ -103,17 +103,33 @@ class CocoEvaluator:
                 self.preds[int(img_id)] = {k: np.asarray(v) for k, v in res.items()}
 
     def synchronize_between_processes(self):
-        """Merge predictions across hosts (multi-process jax runs)."""
+        """Merge predictions across hosts (multi-process jax runs).
+
+        The per-rank prediction dicts have DIFFERENT keys (each rank saw its
+        own shard), so they cannot ride a structured allgather — exactly the
+        reference's problem, solved the reference's way (pickled-byte-tensor
+        all_gather, engine/utils.py:102-142): pickle each rank's dict, pad
+        the byte arrays to the global max length, allgather, unpickle, merge.
+        Executed by tests/test_multiprocess.py over real localhost processes.
+        """
         import jax
 
         if jax.process_count() == 1:
             return
+        import pickle
+
         from jax.experimental import multihost_utils
 
-        gathered = multihost_utils.process_allgather(self.preds, tiled=False)
+        payload = np.frombuffer(pickle.dumps(self.preds), np.uint8)
+        sizes = np.asarray(
+            multihost_utils.process_allgather(np.asarray([payload.size]))
+        ).ravel()
+        padded = np.zeros(int(sizes.max()), np.uint8)
+        padded[: payload.size] = payload
+        stacked = np.asarray(multihost_utils.process_allgather(padded))
         merged = {}
-        for shard in gathered if isinstance(gathered, (list, tuple)) else [self.preds]:
-            merged.update(shard)
+        for row, size in zip(stacked, sizes):
+            merged.update(pickle.loads(row[: int(size)].tobytes()))
         self.preds = merged
 
     # ------------------------------------------------------------------

@@ -230,14 +230,15 @@ class SwinBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, hw: tuple[int, int], deterministic: bool = True,
-                 eval_mode: bool = None):
-        # eval_mode gates the non-differentiable whole-block/MLP kernels.
-        # It is NOT the same as ``deterministic``: frozen Swin stages run
-        # with deterministic=True during TRAINING (reference eval-mode
-        # freezing) yet still sit inside a differentiated graph.
-        if eval_mode is None:
-            eval_mode = deterministic
+    def __call__(self, x, hw: tuple[int, int], deterministic: bool = True):
+        # The whole-block attention / fused-MLP kernels are differentiable
+        # (custom_vjp with a flash-style recompute backward), so training
+        # uses the same fused forward the eval path does.  The only thing
+        # that cannot fuse is dropout INSIDE a kernel (attention-probability
+        # dropout needs the score matrix; Mlp dropout the GELU output) — so
+        # each fused path gates on its dropout being inert, not on eval.
+        # GRIT runs attn_drop=0 and drop=0 (swin_model.py:697), so both
+        # kernels are active during training; drop-path applies OUTSIDE.
         h, w = hw
         b, L, c = x.shape
         shortcut = x
@@ -261,10 +262,10 @@ class SwinBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             fused=self.fused_attn, dtype=self.dtype, name="attn",
         )
-        if self.fused_attn and eval_mode:
-            # eval path: whole-block kernel on the un-partitioned map — the
+        if self.fused_attn and (deterministic or self.attn_drop == 0.0):
+            # whole-block kernel on the un-partitioned map — the
             # partition/reverse transposes become BlockSpec DMA
-            x = attn(None, mask, deterministic=True, x_map=x)
+            x = attn(None, mask, deterministic=deterministic, x_map=x)
         else:
             windows = window_partition(x, self.window)
             attn_out = attn(
@@ -282,9 +283,11 @@ class SwinBlock(nn.Module):
         rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
         hidden = int(self.dim * self.mlp_ratio)
-        if self.fused_attn and eval_mode:
-            # LN2 + fc1 + exact-GELU + fc2 + residual in one VMEM-resident
-            # kernel (the [rows, 4C] GELU intermediate never touches HBM)
+        if self.fused_attn and (deterministic or self.drop == 0.0):
+            # LN2 + fc1 + exact-GELU + fc2 [+ residual] in one VMEM-resident
+            # kernel (the [rows, 4C] GELU intermediate never touches HBM).
+            # With stochastic depth active the kernel returns just the
+            # branch and drop-path + residual apply outside.
             from grit_tpu.ops.window_attention import fused_mlp
 
             lns, lnb = _LayerNormParams(self.dim, name="norm2")()
@@ -292,7 +295,13 @@ class SwinBlock(nn.Module):
             if self.dtype is not None:
                 w1, b1 = w1.astype(self.dtype), b1.astype(self.dtype)
                 w2, b2 = w2.astype(self.dtype), b2.astype(self.dtype)
-            return fused_mlp(x, lns, lnb, w1, b1, w2, b2, eps=LN_EPS)
+            branch_only = not deterministic and self.drop_path_rate > 0
+            out = fused_mlp(x, lns, lnb, w1, b1, w2, b2, eps=LN_EPS,
+                            residual=not branch_only)
+            if branch_only:
+                rng2 = self.make_rng("dropout")
+                out = x + drop_path(out, self.drop_path_rate, deterministic, rng2)
+            return out
         mlp_out = Mlp(
             hidden, self.dim, self.drop, dtype=self.dtype, name="mlp"
         )(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x), deterministic=deterministic)
@@ -338,17 +347,14 @@ class BasicLayer(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, hw: tuple[int, int], *, deterministic=True,
-                 eval_mode: bool = None):
-        if eval_mode is None:
-            eval_mode = deterministic
+    def __call__(self, x, hw: tuple[int, int], *, deterministic=True):
         h, w = hw
         block_cls = SwinBlock
         if self.use_checkpoint:
             # activation rematerialization (the reference's use_checkpoint,
             # swin_model.py:445-448): trade recompute for HBM during training.
-            # hw, deterministic, eval_mode are static (self counts as 0).
-            block_cls = nn.remat(SwinBlock, static_argnums=(2, 3, 4))
+            # hw and deterministic are static (self counts as 0).
+            block_cls = nn.remat(SwinBlock, static_argnums=(2, 3))
         for i in range(self.depth):
             x = block_cls(
                 dim=self.dim,
@@ -361,7 +367,7 @@ class BasicLayer(nn.Module):
                 fused_attn=self.fused_attn,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, hw, deterministic, eval_mode)
+            )(x, hw, deterministic)
         x_down = PatchMerging(self.dim, self.out_dim, dtype=self.dtype, name="downsample")(x, hw)
         return x, x_down, ((h + 1) // 2, (w + 1) // 2)
 
@@ -436,8 +442,7 @@ class SwinTransformer(nn.Module):
                 fused_attn=self.fused_attn,
                 dtype=self.dtype,
                 name=f"layers_{stage}",
-            )(x, hw, deterministic=deterministic or stage_frozen,
-              eval_mode=deterministic)
+            )(x, hw, deterministic=deterministic or stage_frozen)
             if stage_frozen:
                 # frozen stage incl. its PatchMerging (reference freezes the
                 # whole self.layers[i] module) — backward stops here

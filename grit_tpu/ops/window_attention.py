@@ -427,14 +427,7 @@ def _pick_block_bblk(b: int, n: int, c: int, itemsize: int) -> int:
     return bblk
 
 
-def fused_block_attention(
-    x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads, window,
-):
-    """x: [B, Hp, Wp, C] (LN'd, padded, pre-rolled when shifted);
-    wqkv: [C, 3C]; bqkv: [3C]; wproj: [C, C]; bproj: [C];
-    bias: [M, h, N, N] (M == nW or 1).  Returns the pre-residual projected
-    attention output, position-aligned with ``x``.
-    """
+def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window):
     b, hp, wp_, c = x.shape
     h = num_heads
     d = c // h
@@ -498,6 +491,91 @@ def fused_block_attention(
     return out6.reshape(b, hp, wp_, c)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _block_attention(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window):
+    return _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window)
+
+
+def _block_attention_fwd(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window):
+    out = _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window)
+    return out, (x, wqkv, bqkv, wproj, bproj, bias)
+
+
+def _block_attention_bwd(scale, num_heads, window, res, dout):
+    """Flash-style backward: nothing saved but the inputs.
+
+    The projections (qkv, output) are recomputed/differentiated as big
+    batched XLA matmuls — exactly the shapes XLA already runs at high MXU
+    utilization — and the attention core (the part whose intermediates must
+    never touch HBM) reuses the fused ``_backward`` Pallas kernel, with the
+    probabilities recomputed in VMEM by one extra ``_forward`` pass for the
+    output-projection weight gradient.
+    """
+    from grit_tpu.ops.window import window_partition, window_reverse
+
+    x, wqkv, bqkv, wproj, bproj, bias = res
+    b, hp, wp_, c = x.shape
+    nw = (hp // window) * (wp_ // window)
+    n = window * window
+
+    xw = window_partition(x, window).reshape(b, nw, n, c)
+    qkv = (
+        jax.lax.dot_general(
+            xw, wqkv, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv
+    ).astype(x.dtype)
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+
+    dout_w = window_partition(dout, window).reshape(b, nw, n, c)
+
+    # output-projection grads need the pre-proj attention output: recompute
+    # it with the fused forward kernel (scores stay in VMEM)
+    attn_out = _forward(q, k, v, bias, scale, num_heads)
+    ao2 = attn_out.reshape(-1, c)
+    do2 = dout_w.reshape(-1, c)
+    dwproj = jax.lax.dot_general(
+        ao2, do2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(wproj.dtype)
+    dbproj = do2.astype(jnp.float32).sum(0).astype(bproj.dtype)
+    d_ao = jax.lax.dot_general(
+        do2, wproj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(b, nw, n, c)
+
+    dq, dk, dv, dbias = _backward(q, k, v, bias, scale, num_heads, d_ao)
+
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1).reshape(-1, 3 * c)
+    xw2 = xw.reshape(-1, c)
+    dwqkv = jax.lax.dot_general(
+        xw2, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(wqkv.dtype)
+    dbqkv = dqkv.astype(jnp.float32).sum(0).astype(bqkv.dtype)
+    dxw = jax.lax.dot_general(
+        dqkv, wqkv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(b * nw, n, c)
+    dx = window_reverse(dxw, window, hp, wp_)
+    return dx, dwqkv, dbqkv, dwproj, dbproj, dbias
+
+
+_block_attention.defvjp(_block_attention_fwd, _block_attention_bwd)
+
+
+def fused_block_attention(
+    x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads, window,
+):
+    """x: [B, Hp, Wp, C] (LN'd, padded, pre-rolled when shifted);
+    wqkv: [C, 3C]; bqkv: [3C]; wproj: [C, C]; bproj: [C];
+    bias: [M, h, N, N] (M == nW or 1).  Returns the pre-residual projected
+    attention output, position-aligned with ``x``.
+
+    Differentiable: forward is one whole-block Pallas kernel; backward is a
+    flash-style recompute (``_block_attention_bwd``) built on the fused
+    attention backward kernel — training runs the same forward the eval
+    path does.
+    """
+    return _block_attention(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window)
+
+
 # ---------------------------------------------------------------------------
 # Fused MLP (LN2 + fc1 + exact-GELU + fc2 + residual) for the deterministic
 # path.  Saves the [rows, 4C] GELU intermediate's HBM round trip and the
@@ -520,7 +598,7 @@ def _erf(x):
 
 
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, *, eps):
+                out_ref, *, eps, residual):
     xf = x_ref[...].astype(jnp.float32)  # [R, C]
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu  # fast variance
@@ -535,18 +613,17 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         h, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0][None, :]
-    out_ref[...] = (xf + y).astype(out_ref.dtype)
+    if residual:
+        y = xf + y
+    out_ref[...] = y.astype(out_ref.dtype)
 
 
-def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-5):
-    """x: [B, L, C] -> x + fc2(gelu(fc1(LN(x)))) in one VMEM-resident pass."""
-    bsz, L, c = x.shape
+def _mlp_forward(x2, lns, lnb, w1, b1, w2, b2, eps, residual):
+    rows, c = x2.shape
     hid = w1.shape[1]
-    rows = bsz * L
     r = 512
     while rows % r:
         r //= 2
-    x2 = x.reshape(rows, c)
 
     row_spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -554,23 +631,79 @@ def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-5):
         a2 = a[None] if a.ndim == 1 else a
         return a2, pl.BlockSpec(a2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    lns2, lns_spec = const2(ln_scale)
-    lnb2, lnb_spec = const2(ln_bias)
+    lns2, lns_spec = const2(lns)
+    lnb2, lnb_spec = const2(lnb)
     b1_2, b1_spec = const2(b1)
     b2_2, b2_spec = const2(b2)
     w1_spec = pl.BlockSpec(w1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec(w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, eps=eps),
+        functools.partial(_mlp_kernel, eps=eps, residual=residual),
         grid=(rows // r,),
         in_specs=[row_spec, lns_spec, lnb_spec, w1_spec, b1_spec, w2_spec, b2_spec],
         out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x2.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * c * hid,
-            bytes_accessed=2 * rows * c * x.dtype.itemsize,
+            bytes_accessed=2 * rows * c * x2.dtype.itemsize,
             transcendentals=rows * hid,
         ),
     )(x2, lns2, lnb2, w1, b1_2, w2, b2_2)
+    return out
+
+
+def _mlp_ref2(x2, lns, lnb, w1, b1, w2, b2, eps, residual):
+    """jnp mirror of ``_mlp_kernel``'s dtype semantics (exact erf) — the
+    recompute target for the backward pass."""
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * lns[None, :] + lnb[None, :]).astype(x2.dtype)
+    h = jax.lax.dot_general(
+        xn, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + b1[None, :]
+    h = (h * 0.5 * (1.0 + jax.lax.erf(h * 0.7071067811865476))).astype(x2.dtype)
+    y = jax.lax.dot_general(
+        h, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + b2[None, :]
+    if residual:
+        y = xf + y
+    return y.astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _mlp(x2, lns, lnb, w1, b1, w2, b2, eps, residual):
+    return _mlp_forward(x2, lns, lnb, w1, b1, w2, b2, eps, residual)
+
+
+def _mlp_fwd(x2, lns, lnb, w1, b1, w2, b2, eps, residual):
+    out = _mlp_forward(x2, lns, lnb, w1, b1, w2, b2, eps, residual)
+    return out, (x2, lns, lnb, w1, b1, w2, b2)
+
+
+def _mlp_bwd(eps, residual, res, dy):
+    # recompute-and-differentiate: XLA fuses the recomputed forward into the
+    # backward matmuls; only the row inputs were saved (the [R, 4C] GELU
+    # intermediate never hit HBM in the forward)
+    _, vjp = jax.vjp(
+        lambda *a: _mlp_ref2(*a, eps, residual), *res
+    )
+    return vjp(dy)
+
+
+_mlp.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-5, residual=True):
+    """x: [B, L, C] -> [x +] fc2(gelu(fc1(LN(x)))) in one VMEM-resident pass.
+
+    ``residual=False`` returns just the MLP branch so the caller can apply
+    drop-path before the residual add (training with stochastic depth).
+    Differentiable: backward recomputes the branch from ``x`` (flash-style).
+    """
+    bsz, L, c = x.shape
+    out = _mlp(x.reshape(bsz * L, c), ln_scale, ln_bias, w1, b1, w2, b2,
+               eps, residual)
     return out.reshape(bsz, L, c)

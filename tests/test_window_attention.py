@@ -95,9 +95,10 @@ def test_swin_model_fused_flag_parity():
 
 def test_fused_training_grads_with_frozen_stages():
     """Frozen Swin stages run deterministic=True during TRAINING (reference
-    eval-mode freezing) — the non-differentiable whole-block kernel must NOT
-    activate there (it is gated on eval_mode, threaded separately).  This
-    crashed with a pallas jvp AssertionError before the eval_mode split."""
+    eval-mode freezing).  Since round 3 the whole-block/MLP kernels are
+    differentiable (custom_vjp flash-style recompute backward), so they stay
+    active on BOTH the frozen (deterministic) and trainable stages; grads
+    must match the plain XLA formulation."""
     from grit_tpu.models.swin import SwinTransformer
 
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 48, 3))
@@ -118,6 +119,125 @@ def test_fused_training_grads_with_frozen_stages():
         g_fused = jax.grad(loss(m_fused))(params)   # must not crash
     g_plain = jax.grad(loss(m_plain))(params)
     # drop_rate/attn_drop are 0 -> the fused pair path is deterministic-equal
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_fused)[0],
+        jax.tree_util.tree_flatten_with_path(g_plain)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(p1))
+
+@pytest.mark.parametrize("shape", [
+    # (B, Hp, Wp, C, h, window)
+    (2, 8, 12, 16, 4, 4),
+    (1, 16, 8, 64, 2, 8),   # gd == 128: single-group packing
+])
+def test_block_attention_grads_match_composition(shape):
+    """Whole-block kernel custom_vjp (recompute backward) vs autodiff of the
+    jnp composition qkv -> partition -> attention -> proj -> reverse."""
+    from grit_tpu.ops.window import window_partition, window_reverse
+
+    b, hp, wp_, c, h, win = shape
+    n = win * win
+    nw = (hp // win) * (wp_ // win)
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    x = jax.random.normal(ks[0], (b, hp, wp_, c))
+    wqkv = jax.random.normal(ks[1], (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(ks[2], (3 * c,)) * 0.1
+    wproj = jax.random.normal(ks[3], (c, c)) * 0.1
+    bproj = jax.random.normal(ks[4], (c,)) * 0.1
+    bias = jax.random.normal(ks[5], (nw, h, n, n))
+    scale = (c // h) ** -0.5
+
+    def ref(x_, wqkv_, bqkv_, wproj_, bproj_, bias_):
+        xw = window_partition(x_, win).reshape(b, nw, n, c)
+        qkv = xw @ wqkv_ + bqkv_
+        q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+        ao = wa._unfused(q, k, v, bias_, scale, h)
+        out = ao @ wproj_ + bproj_
+        return window_reverse(out.reshape(b * nw, n, c), win, hp, wp_)
+
+    def fused(x_, wqkv_, bqkv_, wproj_, bproj_, bias_):
+        return wa.fused_block_attention(
+            x_, wqkv_, bqkv_, wproj_, bproj_, bias_,
+            scale=scale, num_heads=h, window=win)
+
+    args = (x, wqkv, bqkv, wproj, bproj, bias)
+    with _interp_patch():
+        out_f = fused(*args)
+        g_f = jax.grad(lambda *a: jnp.sum(fused(*a) ** 2), argnums=tuple(range(6)))(*args)
+    out_r = ref(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=tuple(range(6)))(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=2e-5, atol=2e-5)
+    for name, gf, gr in zip(["x", "wqkv", "bqkv", "wproj", "bproj", "bias"], g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_fused_mlp_grads_match_reference(residual):
+    """fused_mlp custom_vjp vs autodiff of LN -> fc1 -> GELU -> fc2 [+ x]."""
+    c, hid, rows = 16, 64, 24
+    ks = jax.random.split(jax.random.PRNGKey(3), 7)
+    x = jax.random.normal(ks[0], (2, rows // 2, c))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    lnb = 0.1 * jax.random.normal(ks[2], (c,))
+    w1 = jax.random.normal(ks[3], (c, hid)) * 0.1
+    b1 = 0.1 * jax.random.normal(ks[4], (hid,))
+    w2 = jax.random.normal(ks[5], (hid, c)) * 0.1
+    b2 = 0.1 * jax.random.normal(ks[6], (c,))
+
+    def ref(x_, lns_, lnb_, w1_, b1_, w2_, b2_):
+        mu = jnp.mean(x_, axis=-1, keepdims=True)
+        var = jnp.var(x_, axis=-1, keepdims=True)
+        xn = (x_ - mu) * jax.lax.rsqrt(var + 1e-5) * lns_ + lnb_
+        hmid = xn @ w1_ + b1_
+        hmid = hmid * 0.5 * (1.0 + jax.lax.erf(hmid * 2 ** -0.5))
+        y = hmid @ w2_ + b2_
+        return x_ + y if residual else y
+
+    def fused(*a):
+        return wa.fused_mlp(*a, eps=1e-5, residual=residual)
+
+    args = (x, lns, lnb, w1, b1, w2, b2)
+    with _interp_patch():
+        out_f = fused(*args)
+        g_f = jax.grad(lambda *a: jnp.sum(fused(*a) ** 2), argnums=tuple(range(7)))(*args)
+    out_r = ref(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=tuple(range(7)))(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=2e-5, atol=2e-5)
+    for name, gf, gr in zip(["x", "lns", "lnb", "w1", "b1", "w2", "b2"], g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_fused_training_grads_with_drop_path():
+    """Training with stochastic depth: the fused path applies drop-path
+    outside the kernels (residual=False MLP variant); grads must match the
+    plain path bit-for-bit in rng stream and numerics."""
+    from grit_tpu.models.swin import SwinTransformer
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    mk = dict(embed_dim=8, depths=(2,), num_heads=(2,), window=4,
+              drop_path_rate=0.5, pos_dim=16)
+    m_fused = SwinTransformer(**mk, fused_attn=True)
+    m_plain = SwinTransformer(**mk, fused_attn=False)
+    params = m_plain.init(jax.random.PRNGKey(1), x)
+
+    def loss(m):
+        def f(p):
+            outs = m.apply(p, x, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+        return f
+
+    with _interp_patch():
+        l_f = loss(m_fused)(params)
+        g_fused = jax.grad(loss(m_fused))(params)
+    l_p = loss(m_plain)(params)
+    g_plain = jax.grad(loss(m_plain))(params)
+    np.testing.assert_allclose(float(l_f), float(l_p), rtol=1e-5)
     for (p1, a), (p2, b) in zip(
         jax.tree_util.tree_flatten_with_path(g_fused)[0],
         jax.tree_util.tree_flatten_with_path(g_plain)[0],
