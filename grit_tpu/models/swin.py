@@ -404,9 +404,22 @@ class SwinTransformer(nn.Module):
     def __call__(self, images: jnp.ndarray, *, deterministic=True) -> list[jnp.ndarray]:
         """images: [B, H, W, 3] with H, W multiples of 64 -> list of 4 NHWC maps."""
         b, h, w, _ = images.shape
+        # patch-embed bias: torch Conv2d default U(+-1/sqrt(fan_in)), NOT
+        # zeros (the reference's init_weights re-initializes only Linear and
+        # LayerNorm — swin_model.py:641-650 — so its patch embed keeps the
+        # torch default).  This is load-bearing for from-scratch training: a
+        # zero bias makes every fully-padded patch's embedding EXACTLY zero,
+        # and LayerNorm of a zero-variance row amplifies gradients by
+        # rsqrt(eps) ~= 316 at every LN it passes through — compounding to
+        # the 2.8e15 first-step grad norm that no-op'd detector pre-training
+        # under global clipping (round-2 vdet3; docs/NOTES.md round 3).
+        fan_in = self.patch_size * self.patch_size * images.shape[-1]
+        bound = float(fan_in) ** -0.5
         x = nn.Conv(
             self.embed_dim, (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
+            bias_init=lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
             name="patch_embed_proj", dtype=self.dtype,
         )(images)
         wh, ww = x.shape[1], x.shape[2]

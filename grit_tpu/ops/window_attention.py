@@ -343,15 +343,24 @@ fused_window_attention.defvjp(_fwd, _bwd)
 
 def _block_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
-    wp_ref, bp_ref, bias_ref, out_ref, acc_ref,
-    *, scale, g, d, bblk, n_groups, win,
+    wp_ref, bp_ref, bias_ref, out_ref, *rest,
+    scale, g, d, bblk, n_groups, win, save_attn,
 ):
     """One (batch-block, window, head-group) program.
 
     x/out refs: [bblk, win, win, C]; w{q,k,v}: [C, g*d]; wp: [g*d, C];
     b{q,k,v}: [1, g*d]; bp: [1, C]; bias: [1, g, N, N] fp32;
     acc (scratch): [bblk, N, C] fp32 partial projection accumulator.
+    With ``save_attn`` (the differentiating forward) an extra
+    [bblk, 1, N, g*d] output receives the pre-projection per-head-group
+    attention output — the backward needs it for the projection weight
+    gradient, and emitting it here (it already lives in VMEM) is far
+    cheaper than recomputing the whole attention pass.
     """
+    if save_attn:
+        o2_ref, acc_ref = rest
+    else:
+        (acc_ref,) = rest
     n = win * win
     c = x_ref.shape[5]  # block is [bblk, 1, win, 1, win, C]
     gd = g * d
@@ -397,6 +406,8 @@ def _block_kernel(
         o_m = jnp.concatenate(
             [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)], axis=-1
         ).astype(xt.dtype)  # [N, gd]
+        if save_attn:
+            o2_ref[i, 0] = o_m
         part = jax.lax.dot_general(
             o_m, wp_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -427,7 +438,8 @@ def _pick_block_bblk(b: int, n: int, c: int, itemsize: int) -> int:
     return bblk
 
 
-def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window):
+def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window,
+                   save_attn=False):
     b, hp, wp_, c = x.shape
     h = num_heads
     d = c // h
@@ -448,7 +460,7 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window):
     bblk = _pick_block_bblk(b, n, c, x.dtype.itemsize)
     kernel = functools.partial(
         _block_kernel, scale=scale, g=g, d=d, bblk=bblk,
-        n_groups=n_groups, win=window,
+        n_groups=n_groups, win=window, save_attn=save_attn,
     )
 
     # window tiles as blocks: split H/W into (n_windows, window) OUTSIDE (a
@@ -473,14 +485,23 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window):
         memory_space=pltpu.VMEM,
     )
 
-    out6 = pl.pallas_call(
+    out_specs = x_spec
+    out_shape = jax.ShapeDtypeStruct(x6.shape, x.dtype)
+    if save_attn:
+        o2_spec = pl.BlockSpec(
+            (bblk, 1, n, gd), lambda bb, w, hg: (bb, w, 0, hg),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = [x_spec, o2_spec]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, nw, n, c), x.dtype)]
+    outs = pl.pallas_call(
         kernel,
         grid=(b // bblk, nw, n_groups),  # head groups fastest: x/out blocks
         in_specs=[x_spec, wcol_spec, wcol_spec, wcol_spec,  # stay resident,
                   bcol_spec, bcol_spec, bcol_spec,          # scratch accumulates
                   wrow_spec, bp_spec, bias_spec],
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct(x6.shape, x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bblk, n, c), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * nw * n * (4 * c * c + 2 * g * (h // g) * n * d * 2),
@@ -488,7 +509,10 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window):
             transcendentals=b * nw * h * n * n,
         ),
     )(x6, wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias.astype(jnp.float32))
-    return out6.reshape(b, hp, wp_, c)
+    if save_attn:
+        out6, o_merged = outs
+        return out6.reshape(b, hp, wp_, c), o_merged
+    return outs.reshape(b, hp, wp_, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -497,8 +521,14 @@ def _block_attention(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window
 
 
 def _block_attention_fwd(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window):
-    out = _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window)
-    return out, (x, wqkv, bqkv, wproj, bproj, bias)
+    # the differentiating forward also emits the pre-projection attention
+    # output (one extra DMA out of VMEM) so the backward need not recompute
+    # the whole attention pass for the projection weight gradient
+    out, o_merged = _block_forward(
+        x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window,
+        save_attn=True,
+    )
+    return out, (x, wqkv, bqkv, wproj, bproj, bias, o_merged)
 
 
 def _block_attention_bwd(scale, num_heads, window, res, dout):
@@ -513,7 +543,7 @@ def _block_attention_bwd(scale, num_heads, window, res, dout):
     """
     from grit_tpu.ops.window import window_partition, window_reverse
 
-    x, wqkv, bqkv, wproj, bproj, bias = res
+    x, wqkv, bqkv, wproj, bproj, bias, attn_out = res
     b, hp, wp_, c = x.shape
     nw = (hp // window) * (wp_ // window)
     n = window * window
@@ -529,9 +559,6 @@ def _block_attention_bwd(scale, num_heads, window, res, dout):
 
     dout_w = window_partition(dout, window).reshape(b, nw, n, c)
 
-    # output-projection grads need the pre-proj attention output: recompute
-    # it with the fused forward kernel (scores stay in VMEM)
-    attn_out = _forward(q, k, v, bias, scale, num_heads)
     ao2 = attn_out.reshape(-1, c)
     do2 = dout_w.reshape(-1, c)
     dwproj = jax.lax.dot_general(
