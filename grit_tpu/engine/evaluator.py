@@ -67,6 +67,7 @@ def evaluate_metrics(
     def consume(it, batch, out_dev, t_dispatch):
         out = np.asarray(out_dev)  # hard device sync
         times.append(time.time() - t_dispatch)
+        out = out[: len(batch["image_id"])]  # drop pad rows of a ragged tail
         caps_gen = text_field.decode(out, join_words=False)
         for i, gen_i in enumerate(caps_gen):
             # collapse repeated words (caption_engine.py:196)
@@ -82,13 +83,32 @@ def evaluate_metrics(
                 f"Total time per 1 batch: {sum(times) / len(times):0.5f}s"
             )
 
+    def pad_leading(tree, to):
+        def pad(x):
+            arr = np.asarray(x)
+            if arr.shape[0] >= to:
+                return x
+            fill = np.zeros((to - arr.shape[0],) + arr.shape[1:], arr.dtype)
+            return np.concatenate([arr, fill], axis=0)
+
+        return jax.tree.map(pad, tree)
+
     # pipeline: dispatch batch i+1 before decoding batch i's result, so host
     # decode/bookkeeping overlaps device beam search
     pending = None
+    nominal_bs = None
     for it, batch in enumerate(iter(dataloader)):
         bs = len(batch["image_id"])
+        samples = batch["samples"]
+        if nominal_bs is None:
+            nominal_bs = bs
+        if bs < nominal_bs:
+            # pad the ragged FINAL batch to the compiled batch size instead of
+            # paying a second full-model compile for its shape (~10 min on the
+            # tunnel); consume() slices the outputs back to the true count
+            samples = pad_leading(samples, nominal_bs)
         t_dispatch = time.time()
-        out_dev = generate_fn(params, batch["samples"], bs)
+        out_dev = generate_fn(params, samples, max(bs, nominal_bs))
         if pending is not None:
             consume(*pending)
         pending = (it, batch, out_dev, t_dispatch)

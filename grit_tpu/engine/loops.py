@@ -82,10 +82,34 @@ def train_xe_epoch(
     pad_idx: int = 1, bos_idx: int = 2,
 ):
     """One XE epoch + validation loss (caption_engine.py:312-385)."""
+    import jax.numpy as jnp
+
     state = state.epoch_tick()  # the reference's epoch-start scheduler.step()
     running = 0.0
     n = 0
     t0 = time.time()
+    # metrics stay ON DEVICE and drain in chunks: a per-step float() costs a
+    # full host round-trip (~25-30 ms on the tunnel) that serializes dispatch
+    # — ~10% of a 278 ms step.  Draining every DRAIN steps amortizes the
+    # sync to <1 ms/step while the dispatch queue stays full.
+    DRAIN = 64
+    pending_loss: list = []
+    pending_lr: list = []
+
+    def drain():
+        nonlocal running, n
+        if not pending_loss:
+            return
+        vals = np.asarray(jnp.stack(pending_loss))
+        running += float(vals.sum())
+        n += len(vals)
+        if writer is not None and pending_lr:
+            lrs = np.asarray(jnp.stack([d for _, d in pending_lr]))
+            for (step_i, _), lr in zip(pending_lr, lrs):
+                writer.scalar("model_lr", float(lr), step_i)
+        pending_loss.clear()
+        pending_lr.clear()
+
     for it, batch in enumerate(dataloaders["train"]):
         rng, step_rng = jax.random.split(rng)
         if mesh is not None:
@@ -96,16 +120,30 @@ def train_xe_epoch(
         else:
             batch = {"samples": batch["samples"], "captions": batch["captions"]}
         state, metrics = xe_step(state, batch, step_rng)
-        running += float(metrics["loss"])
-        n += 1
+        pending_loss.append(metrics["loss"])
         if writer is not None:
-            writer.scalar("model_lr", float(metrics["lr"]), epoch * len(dataloaders["train"]) + it)
+            pending_lr.append((epoch * len(dataloaders["train"]) + it, metrics["lr"]))
+        if len(pending_loss) >= DRAIN:
+            drain()
+    drain()
     train_loss = running / max(n, 1)
 
     val_running = 0.0
     vn = 0
+    val_nominal = None
     for batch in dataloaders["valid"]:
         b = {"samples": batch["samples"], "captions": batch["captions"]}
+        # pad the ragged FINAL batch to the first batch's size: the val-loss
+        # program would otherwise recompile for the tail shape, and the
+        # [BOS, pad...] rows carry zero token weight so the per-token loss is
+        # bit-unchanged (pinned by test_multichip ragged-exactness tests)
+        bs = int(np.asarray(b["captions"]).shape[0])
+        if val_nominal is None:
+            val_nominal = bs
+        if bs < val_nominal:
+            from grit_tpu.parallel.mesh import pad_to_multiple
+
+            b = pad_to_multiple(b, val_nominal, int_fill=pad_idx, int_first=bos_idx)
         if mesh is not None:
             b = shard_batch(b, mesh, int_fill=pad_idx, int_first=bos_idx)
         val_running += float(eval_loss_step(state.params, b))
