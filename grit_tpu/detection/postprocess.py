@@ -17,7 +17,9 @@ def postprocess(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray, target_sizes:
     target_sizes [B, 2] (h, w) -> dict of scores/labels/boxes [B, 100, ...]."""
     b, q, c = pred_logits.shape
     prob = jax.nn.sigmoid(pred_logits).reshape(b, q * c)
-    scores, idx = jax.lax.top_k(prob, 100)
+    # top-100 like the reference (od_losses.py:340), capped for small models
+    # whose Q*C < 100 (tiny test configs) where a fixed k would be invalid
+    scores, idx = jax.lax.top_k(prob, min(100, q * c))
     topk_boxes = idx // c
     labels = idx % c
     boxes = box_cxcywh_to_xyxy(pred_boxes)

@@ -83,13 +83,19 @@ class SolverBase:
 
 
 class Trainer(SolverBase):
-    def __init__(self, step_fn, state, dataloader, *, rng, hooks=(), mesh=None):
+    def __init__(self, step_fn, state, dataloader, *, rng, hooks=(), mesh=None,
+                 validers=()):
         super().__init__(hooks)
         self.step_fn = step_fn
         self.state = state
         self.dataloader = dataloader
         self.rng = rng
         self.mesh = mesh
+        # validers run INSIDE the epoch, before after_epoch hooks, so the
+        # checkpoint topk-by-metric and text/scalar logs see THIS epoch's
+        # eval results (reference det_solver.py:137-148 runs validers within
+        # Trainer.run_epoch; its hooks consume epoch_res afterwards)
+        self.validers = list(validers)
 
     def run_epoch(self, epoch: int):
         from grit_tpu.parallel.mesh import shard_batch
@@ -125,6 +131,10 @@ class Trainer(SolverBase):
             self.step_metrics = metrics
             self.global_step += 1
             self.call_hooks("after_step")
+        for valider in self.validers:
+            res = valider.run_epoch(epoch)
+            if res:
+                self.epoch_results = {**self.epoch_results, **res}
         self.call_hooks("after_epoch")
         return self.state
 

@@ -393,3 +393,57 @@ class TestEvaluatorVsVendoredCOCOeval:
         for key, ref_val in want.items():
             assert got[key] == pytest.approx(ref_val, abs=1e-9), (
                 key, got[key], ref_val)
+
+
+class TestDeviceLAP:
+    """On-device Hungarian (shortest augmenting path in lax control flow) vs
+    scipy — the device path exists because the axon TPU backend rejects host
+    callbacks, and it removes the per-step device->host sync everywhere."""
+
+    def test_matches_scipy_over_shapes_and_fills(self):
+        from scipy.optimize import linear_sum_assignment
+
+        from grit_tpu.detection.losses import _device_lsa_single
+
+        rng = np.random.RandomState(0)
+        for trial, (q, g) in enumerate([(150, 100), (20, 8), (12, 12), (50, 1)] * 3):
+            n = rng.randint(0, g + 1)
+            cost = rng.randn(q, g).astype(np.float32) * 3
+            got = np.asarray(_device_lsa_single(jnp.asarray(cost), jnp.int32(n)))
+            assert (got[n:] == -1).all(), (trial, got)
+            if n == 0:
+                continue
+            rows, cols = linear_sum_assignment(cost[:, :n])
+            want = np.full(g, -1, np.int32)
+            want[cols] = rows
+            assert len(set(got[:n])) == n, (trial, got[:n])
+            got_total = sum(cost[got[j], j] for j in range(n))
+            want_total = sum(cost[want[j], j] for j in range(n))
+            np.testing.assert_allclose(got_total, want_total, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"trial {trial}")
+
+    def test_criterion_losses_identical_host_vs_device(self):
+        """The full SetCriterion must produce identical losses under either
+        matcher implementation (distinct random costs -> identical optima)."""
+        from grit_tpu.detection.losses import SetCriterion
+
+        rng = np.random.RandomState(1)
+        b, q, c, g = 2, 24, 10, 6
+        outputs = {
+            "pred_logits": jnp.asarray(rng.randn(b, q, c), jnp.float32),
+            "pred_boxes": jax.nn.sigmoid(jnp.asarray(rng.randn(b, q, 4), jnp.float32)),
+        }
+        targets = {
+            "labels": jnp.asarray(rng.randint(0, c, (b, g)), jnp.int32),
+            "boxes": jnp.asarray(rng.uniform(0.2, 0.6, (b, g, 4)), jnp.float32),
+            "valid": jnp.asarray(np.tile([True] * 4 + [False] * 2, (b, 1))),
+        }
+        losses = {}
+        for impl in ("host", "device"):
+            crit = SetCriterion(c, match_impl=impl)
+            losses[impl] = {k: float(v) for k, v in crit(outputs, targets).items()}
+        assert losses["host"].keys() == losses["device"].keys()
+        for k in losses["host"]:
+            np.testing.assert_allclose(
+                losses["host"][k], losses["device"][k], rtol=1e-5,
+                err_msg=f"loss {k} differs between matcher impls")

@@ -24,9 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=("xe", "sc", "both"), default="xe")
+    ap.add_argument("--phase", choices=("xe", "sc", "det", "both"), default="xe")
     ap.add_argument("--batches", default="16,32,64")
     ap.add_argument("--sc-batches", default="4,8")
+    ap.add_argument("--det-batches", default="4")
+    ap.add_argument("--det-size", default="832,1216",
+                    help="detector bench H,W (multiples of 64; ~the reference's "
+                         "800/1333 multi-scale bucket)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=20)
     ap.add_argument("--frozen-stages", type=int, default=2)
@@ -148,6 +152,73 @@ def main(argv=None):
         run(lambda st, im, b, key: sc_iter(st, im, b, key), sc_inputs,
             [int(x) for x in args.sc_batches.split(",")],
             f"SC beam={beam} fs={args.frozen_stages}", lambda b: b)
+
+    if args.phase == "det":
+        # detector pre-training step (VERDICT r2 item 5): full-size model,
+        # on-device Hungarian (the axon backend has no host callbacks)
+        from grit_tpu.config import default_detection_config
+        from grit_tpu.detection.detector import build_detection_model
+        from grit_tpu.detection.solver import make_detector_train_step
+
+        dconfig = default_detection_config().apply_overrides(overrides)
+        dmodel, dcrit = build_detection_model(dconfig, dtype=jnp.bfloat16)
+        dh, dw = (int(x) for x in args.det_size.split(","))
+        dummy_im = ImageBatch(jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64), bool))
+        t0 = time.time()
+        dparams = jax.jit(lambda k, im: dmodel.init(k, im, training=True))(
+            jax.random.PRNGKey(0), dummy_im)
+        print(f"det init: {time.time() - t0:.1f}s")
+        dtx, dlabels = build_optimizer(dparams, weight_decay=1e-4)
+        dstep = make_detector_train_step(
+            dmodel, dcrit, dtx, dlabels,
+            lr=dconfig.optimizer.lr, lr_backbone=dconfig.optimizer.lr_backbone,
+            clip_max_norm=dconfig.optimizer.clip_max_norm,
+        )
+
+        def det_inputs(b):
+            images = ImageBatch(
+                jnp.asarray(rng.rand(b, dh, dw, 3), jnp.float32),
+                jnp.zeros((b, dh, dw), bool),
+            )
+            nbox = 25
+            targets = {
+                "labels": jnp.asarray(
+                    rng.randint(0, dconfig.model.detector.num_classes, (b, 100)),
+                    jnp.int32),
+                "boxes": jnp.asarray(
+                    np.stack([np.stack(
+                        [rng.uniform(.2, .8, 100), rng.uniform(.2, .8, 100),
+                         rng.uniform(.02, .2, 100), rng.uniform(.02, .2, 100)],
+                        -1) for _ in range(b)]), jnp.float32),
+                "valid": jnp.asarray(
+                    np.tile([True] * nbox + [False] * (100 - nbox), (b, 1))),
+            }
+            return (images, targets, jnp.asarray(1.0))
+
+        def det_state(b):
+            fresh = jax.tree.map(jnp.copy, dparams)
+            return TrainState.create(fresh, dtx)
+
+        for b in [int(x) for x in args.det_batches.split(",")]:
+            state = det_state(b)
+            stepargs = det_inputs(b)
+            t0 = time.time()
+            state, metrics = dstep(state, *stepargs, jax.random.PRNGKey(1))
+            _ = np.asarray(metrics["loss"])
+            compile_s = time.time() - t0
+            times = []
+            for i in range(args.iters):
+                t0 = time.time()
+                state, metrics = dstep(state, *stepargs, jax.random.PRNGKey(i))
+                _ = np.asarray(metrics["loss"])
+                times.append(time.time() - t0)
+            ms = 1e3 * float(np.median(times))
+            print(
+                f"[DET b={b} {dh}x{dw}] compile+1st={compile_s:.1f}s  "
+                f"median step={ms:.1f} ms  {b / (ms / 1e3):.1f} img/s/chip  "
+                f"grad_norm={float(np.asarray(metrics['grad_norm'])):.3e}  "
+                f"(iters: {[f'{1e3*t:.1f}' for t in times]})"
+            )
 
 
 if __name__ == "__main__":

@@ -108,7 +108,6 @@ def main(argv=None):
         CheckpointHook(workdir),
     ]
     loader = LoaderShim()
-    trainer = Trainer(step_fn, state, loader, rng=jax.random.PRNGKey(0), hooks=hooks, mesh=mesh)
 
     # validation: COCO-format val sets -> postprocess -> mAP evaluator
     validers = []
@@ -157,12 +156,15 @@ def main(argv=None):
             evaluator_factory=lambda gt=gt: CocoEvaluator(gt),
         ))
 
+    # validers run inside each trainer epoch, BEFORE the after_epoch hooks,
+    # so checkpoint topk and the text/scalar logs see this epoch's mAP
+    trainer = Trainer(step_fn, state, loader, rng=jax.random.PRNGKey(0),
+                      hooks=hooks, mesh=mesh, validers=validers)
+
     with mesh:
         for epoch in range(config.optimizer.epochs):
             loader.epoch = epoch
             trainer.state = trainer.run_epoch(epoch)
-            for valider in validers:
-                trainer.epoch_results = valider.run_epoch(epoch)
 
 
 if __name__ == "__main__":
