@@ -112,24 +112,11 @@ class CocoEvaluator:
         the byte arrays to the global max length, allgather, unpickle, merge.
         Executed by tests/test_multiprocess.py over real localhost processes.
         """
-        import jax
+        from grit_tpu.parallel.distributed import allgather_pyobj
 
-        if jax.process_count() == 1:
-            return
-        import pickle
-
-        from jax.experimental import multihost_utils
-
-        payload = np.frombuffer(pickle.dumps(self.preds), np.uint8)
-        sizes = np.asarray(
-            multihost_utils.process_allgather(np.asarray([payload.size]))
-        ).ravel()
-        padded = np.zeros(int(sizes.max()), np.uint8)
-        padded[: payload.size] = payload
-        stacked = np.asarray(multihost_utils.process_allgather(padded))
         merged = {}
-        for row, size in zip(stacked, sizes):
-            merged.update(pickle.loads(row[: int(size)].tobytes()))
+        for shard in allgather_pyobj(self.preds):
+            merged.update(shard)
         self.preds = merged
 
     # ------------------------------------------------------------------

@@ -69,13 +69,18 @@ def _aligned_spans(spatial_shapes):
 
     The kernel slices the value slab per level along the sublane dimension;
     aligning each level segment to 8 rows keeps those slices layout-friendly.
+    The total carries a tail pad of (max W + 2) rows so the v3 kernel's
+    statically SHIFTED slices (offset up to W+1) never run off the slab.
     """
+    pad = max(w for _, w in spatial_shapes) + 2
+    lead = -(-pad // 8) * 8  # head pad: v3's left-extended compare window
     starts, sizes = [], []
-    off = 0
+    off = lead
     for h, w in spatial_shapes:
         starts.append(off)
         sizes.append(h * w)
         off += -(-(h * w) // 8) * 8
+    off += -(-pad // 8) * 8  # tail pad: v3's shifted slices stay in-bounds
     return starts, sizes, off
 
 
@@ -218,12 +223,66 @@ def _gather_bwd_kernel(
     dw_ref[0] = dw.astype(dw_ref.dtype)
 
 
+def _gather_matmul_kernel_v3(base_ref, w_ref, value_ref, out_ref, *, spans, npts, wdims):
+    """v3: ONE unweighted compare per point, shared by all four corners.
+
+    The v2 kernel's wall is the VPU: 4 corner slots x (compare + select +
+    add) over [Lq, S_l] per point.  v3 compares ``col == base`` once per
+    point (the unclipped top-left corner), accumulates the four corner
+    weights into four per-corner selection matrices off that one hit mask,
+    and contracts each with a STATICALLY SHIFTED slice of the value slab
+    (V[s + delta], delta in {0, 1, W, W+1} — the slab carries a tail pad so
+    the shifted slices stay in-bounds; out-of-range corners carry zero
+    weight so reading a neighbor level contributes nothing).  4x the MXU
+    contractions, but the MXU was ~5% utilized while the VPU saturated —
+    the compare/select traffic drops ~40%.
+    """
+    lq = base_ref.shape[1]
+    d = value_ref.shape[2]
+    value = value_ref[0]
+    base = base_ref[0]
+    wts = w_ref[0]
+    acc = jnp.zeros((lq, d), jnp.float32)
+    for lvl, (st, sl) in enumerate(spans):
+        wl = wdims[lvl]
+        # the compare window extends W+1 columns LEFT of the level start:
+        # a point just outside the top/left image edge has base = st - W - 1
+        # .. st - 1 while its bottom/right corners are valid in-level cells
+        ext = wl + 1
+        sle = sl + ext
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, sle), 1) + (st - ext)
+        selms = [jnp.zeros((lq, sle), jnp.float32) for _ in range(4)]
+        for pt in range(lvl * npts, (lvl + 1) * npts):
+            b = jax.lax.slice_in_dim(base, pt, pt + 1, axis=1)   # [Lq, 1]
+            hit = col_ids == b
+            for ci in range(4):
+                ww = jax.lax.slice_in_dim(wts, pt * 4 + ci, pt * 4 + ci + 1, axis=1)
+                selms[ci] = selms[ci] + jnp.where(hit, ww.astype(jnp.float32), 0.0)
+        for ci, delta in enumerate((0, 1, wl, wl + 1)):
+            vsl = jax.lax.slice_in_dim(
+                value, st - ext + delta, st - ext + delta + sle, axis=0)
+            acc = acc + jax.lax.dot_general(
+                selms[ci].astype(value.dtype), vsl, (((1,), (0,)), ((), ())),
+                precision=_precision_for(value.dtype),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+# forward kernel variant: "v2" = per-corner shifted-column compares into one
+# selection matrix per level; "v3" = one compare per point + four shifted-
+# slab contractions (see _gather_matmul_kernel_v3).  Module-level so the
+# bench can A/B; the faster one on v5e is the default.
+FWD_VARIANT = "v3"
+
+
 def _gather_call(base_g, w_g, value_g, spans, spl, wdims):
     g, lq, c = w_g.shape
     s_pad, d = value_g.shape[1], value_g.shape[2]
     s = sum(sz for _, sz in spans)
-    kernel = functools.partial(
-        _gather_matmul_kernel, spans=spans, npts=spl // 4, wdims=wdims)
+    kern = (_gather_matmul_kernel_v3 if FWD_VARIANT == "v3"
+            else _gather_matmul_kernel)
+    kernel = functools.partial(kern, spans=spans, npts=spl // 4, wdims=wdims)
     cp = base_g.shape[2]
     return pl.pallas_call(
         kernel,
@@ -305,15 +364,22 @@ def _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights
 
     starts, sizes, s_pad = _aligned_spans(spatial_shapes)
     if s_pad != s:
-        # re-lay the slab so every level segment starts 8-row aligned
+        # re-lay the slab so every level segment starts 8-row aligned, plus
+        # the tail pad that keeps the v3 kernel's shifted slices in-bounds
         orig = level_start_index(spatial_shapes)
-        segs = []
+        segs = [jnp.zeros((g, starts[0], d), value_g.dtype)]  # lead pad
+        covered = starts[0]
         for st_o, sz in zip(orig, sizes):
             seg = jax.lax.slice_in_dim(value_g, st_o, st_o + sz, axis=1)
             pad = -(-sz // 8) * 8 - sz
             if pad:
                 seg = jnp.pad(seg, ((0, 0), (0, pad), (0, 0)))
             segs.append(seg)
+            covered += sz + pad
+        if s_pad > covered:  # tail pad, folded into the ONE concat (a
+            # second jnp.pad pass would materialize another full slab copy
+            # in HBM — ~700 MB at b128 — which OOM'd the chip)
+            segs.append(jnp.zeros((g, s_pad - covered, d), value_g.dtype))
         value_g = jnp.concatenate(segs, axis=1)
 
     wdims = tuple(int(w_) for _, w_ in spatial_shapes)

@@ -38,6 +38,35 @@ def maybe_initialize() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def allgather_pyobj(obj):
+    """Allgather arbitrary per-process Python objects -> list (one per rank).
+
+    The reference's pickled-byte-tensor all_gather (engine/utils.py:102-142):
+    pickle, pad each rank's bytes to the global max, allgather, unpickle.
+    Used for COCO eval merges and rank-specialized eval score exchange.
+    """
+    import pickle
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = np.asarray(
+        multihost_utils.process_allgather(np.asarray([payload.size]))
+    ).ravel()
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: payload.size] = payload
+    stacked = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(row[: int(size)].tobytes())
+        for row, size in zip(stacked, sizes)
+    ]
+
+
 def sync_hosts(name: str = "barrier") -> None:
     """Cross-host barrier (the reference's dist.barrier equivalent)."""
     import jax

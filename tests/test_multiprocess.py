@@ -239,3 +239,67 @@ def test_two_process_branches(tmp_path):
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "worker":
     _worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+
+
+@pytest.mark.skipif(not os.path.isdir("/tmp/vdata"), reason="needs /tmp/vdata synthetic COCO")
+def test_two_process_caption_training_e2e(tmp_path):
+    """Full train_caption.py over TWO real processes: distributed rendezvous
+    via env (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID -> maybe_initialize),
+    rank-sharded train loader, global-mesh XE steps, rank-SPECIALIZED eval
+    (valid on rank 0, test on rank 1 — reference train_caption.py:149-179),
+    score allgather, and collective Orbax checkpoint saves."""
+    port = _free_port()
+    base_env = dict(os.environ)
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+    base_env["PALLAS_AXON_POOL_IPS"] = ""
+    base_env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f
+        for f in base_env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    base_env["XLA_FLAGS"] = " ".join(
+        flags + [f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"]
+    )
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get("PYTHONPATH", "")
+    base_env["DATA_ROOT"] = "/tmp/vdata"
+    base_env["COORDINATOR_ADDRESS"] = f"localhost:{port}"
+    base_env["NUM_PROCESSES"] = str(NPROC)
+
+    overrides = [
+        "exp.name=" + str(tmp_path / "vmp"),
+        "model.vocab_size=19", "model.backbone=swin_test",
+        "model.grid_feat_dim=64", "model.detector.num_levels=2",
+        "dataset.transform_cfg.size=[64, 96]",
+        "dataset.transform_cfg.randaug=false",
+        "optimizer.batch_size=1", "optimizer.finetune_xe_epochs=1",
+        "optimizer.finetune_sc_epochs=0", "model.beam_size=2",
+        "model.beam_len=8", "model.max_len=12",
+    ]
+    procs = []
+    for r in range(NPROC):
+        env = dict(base_env)
+        env["PROCESS_ID"] = str(r)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "train_caption.py")] + overrides,
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [p.communicate(timeout=1500) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out[-3000:]}\n{err[-3000:]}"
+
+    # exp.name is an absolute path, so os.path.join("outputs", name) = name
+    workdir = str(tmp_path / "vmp")
+    csv = os.path.join(workdir, "result.csv")
+    assert os.path.exists(csv), "rank 0 wrote no result.csv"
+    rows = open(csv).read().strip().splitlines()
+    # header + valid + test rows, written ONLY by rank 0
+    assert len(rows) == 3, rows
+    assert any(" valid" in r for r in rows) and any(" test " in r for r in rows)
+    for name in ("last", "best_valid", "best_test", "ft_xe"):
+        assert os.path.isdir(os.path.join(workdir, "checkpoints", name)), name
+    # each rank ran ITS split's eval (rank-specialization evidence)
+    assert "valid scores" in outs[0][0]
+    assert "test scores" in outs[1][0]
+    assert "test scores" not in outs[0][0]

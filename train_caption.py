@@ -198,18 +198,47 @@ def main(argv=None):
             dataloaders["train"].set_epoch(epoch)
             dataloaders["train_dict"].set_epoch(epoch)
 
+            eval_splits = (("valid", "valid_dict"), ("test", "test_dict"))
+            scores_by_split = {}
+            if proc_count >= 2:
+                # rank-specialized CONCURRENT eval (reference
+                # train_caption.py:149-179: valid on rank 0, test on rank 1).
+                # Mesh-global arrays can't run divergent per-rank programs,
+                # so each rank evaluates on a host-local param copy; scores
+                # are then allgathered so every rank sees both splits (the
+                # best-checkpoint decision below must be rank-identical —
+                # Orbax saves are collective).
+                from grit_tpu.parallel.distributed import allgather_pyobj
+
+                local_params = jax.tree.map(
+                    lambda x: jax.device_put(np.asarray(x)), state.params
+                )
+                mine = {}
+                for i, (split, loader_key) in enumerate(eval_splits):
+                    if proc_idx == i:
+                        mine[split], _, _ = evaluate_metrics(
+                            generate_eval, local_params, dataloaders[loader_key],
+                            text_field, epoch=epoch, split=split,
+                        )
+                for d in allgather_pyobj(mine):
+                    scores_by_split.update(d)
+            else:
+                for split, loader_key in eval_splits:
+                    scores_by_split[split], _, _ = evaluate_metrics(
+                        generate_eval, state.params, dataloaders[loader_key],
+                        text_field, epoch=epoch, split=split,
+                    )
+
             for split, loader_key, best in (
                 ("valid", "valid_dict", best_cider_val),
                 ("test", "test_dict", best_cider_test),
             ):
-                scores, _, _ = evaluate_metrics(
-                    generate_eval, state.params, dataloaders[loader_key], text_field,
-                    epoch=epoch, split=split,
-                )
-                log_epoch_csv(
-                    config, epoch, split, scores, train_res, phase,
-                    path=os.path.join(workdir, "result.csv"),
-                )
+                scores = scores_by_split[split]
+                if proc_idx == 0:
+                    log_epoch_csv(
+                        config, epoch, split, scores, train_res, phase,
+                        path=os.path.join(workdir, "result.csv"),
+                    )
                 if scores["CIDEr"] >= best:
                     ckpt.save_checkpoint(
                         workdir, f"best_{split}", state=state, epoch=epoch,
