@@ -271,9 +271,12 @@ def _gather_matmul_kernel_v3(base_ref, w_ref, value_ref, out_ref, *, spans, npts
 
 # forward kernel variant: "v2" = per-corner shifted-column compares into one
 # selection matrix per level; "v3" = one compare per point + four shifted-
-# slab contractions (see _gather_matmul_kernel_v3).  Module-level so the
-# bench can A/B; the faster one on v5e is the default.
-FWD_VARIANT = "v3"
+# slab contractions (see _gather_matmul_kernel_v3).  Measured e2e on v5e at
+# b128: v3 172.9 vs v2 173.6 img/s — the ~25% VPU compare/select savings are
+# cancelled by the 4x contraction count and the unaligned shifted-slice
+# copies, so v2 stays the default and v3 remains a parity-tested experiment
+# (docs/NOTES.md round-3 ladder).
+FWD_VARIANT = "v2"
 
 
 def _gather_call(base_g, w_g, value_g, spans, spl, wdims):
