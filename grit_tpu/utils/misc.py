@@ -93,13 +93,38 @@ class MetricLogger:
         print(f"{header} total: {time.time() - start:.1f}s")
 
 
+def _host_cache_tag() -> str:
+    """Short signature of this host's CPU, mixed into the cache path.
+
+    XLA:CPU executables bake in the compile machine's feature set; an entry
+    written on one host can SIGILL (or fail dispatch) on another.  Observed
+    in practice: a container migrated between machines left a stale cache
+    that crashed one rank of a 2-process run, hanging the other rank's Gloo
+    rendezvous for a collective the crashed rank never joined."""
+    import hashlib
+
+    sig = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    sig = line
+                    if line.startswith("flags"):
+                        break
+    except OSError:
+        pass
+    return hashlib.sha1(sig.encode()).hexdigest()[:8]
+
+
 def enable_compile_cache(path: str = "/tmp/jax_grit_cache") -> None:
     """Persistent XLA compile cache — full-size graphs take ~10 min to build;
     the second run of any CLI should not pay that again."""
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_compilation_cache_dir", f"{path}-{_host_cache_tag()}"
+        )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
