@@ -66,15 +66,17 @@ def main():
         kv = model.apply(params, vis, method="precompute_vis_kv")
 
         def decode_fn(token, t, vis_in, cache):
+            # beam-folded cross attention: visual K/V stay per-image
             return model.apply(
                 params, token, t, vis_in["feat"], cache,
-                method="decode_step", vis_kv=vis_in["kv"],
+                method="decode_step", vis_kv=vis_in["kv"], vis_fold=beam,
             )
 
         cache = model.apply(params, batch * beam, max_len, method="init_cache")
         res = beam_search(
             decode_fn, cache, {"feat": vis, "kv": kv}, batch, beam, max_len,
             config.model.bos_idx, config.model.eos_idx, out_size=1,
+            tile_vis=False,
         )
         return res.sequences
 

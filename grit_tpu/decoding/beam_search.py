@@ -60,14 +60,22 @@ def beam_search(
     eos_idx: int,
     out_size: int = 1,
     return_all_probs: bool = False,
+    tile_vis: bool = True,
 ):
     """Run beam search.
 
     decode_step(token [BB,1], t, vis, cache) -> (log_probs [BB, V], cache).
     ``vis_inputs``/``init_cache`` are per-image ([B, ...] / [B*beam, ...]).
+
+    ``tile_vis=False`` hands ``vis_inputs`` to ``decode_step`` UNtiled
+    ([B, ...]): the step callable must fold the beam dimension itself
+    (``decode_step(..., vis_fold=beam)`` — attention.py ``kv_fold``).  This
+    keeps the loop-invariant visual K/V per-image instead of beam-tiled:
+    at b128/k5 the tiled K/V re-materialized ~50 ms of broadcast/layout
+    copies inside the decode scan.
     """
     b, k = batch_size, beam_size
-    vis = _tile_beam(vis_inputs, k)
+    vis = _tile_beam(vis_inputs, k) if tile_vis else vis_inputs
 
     seq_logprob0 = jnp.full((b, k), NEG_INF).at[:, 0].set(0.0)
     state0 = {

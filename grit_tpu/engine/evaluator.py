@@ -34,15 +34,17 @@ def make_caption_generator(model, *, beam_size, max_len, bos_idx, eos_idx) -> Ca
         kv = model.apply(params, vis, method="precompute_vis_kv")
 
         def decode_fn(token, t, vis_in, cache):
+            # vis stays per-image (tile_vis=False): the cross attentions fold
+            # the beam dim into the query rows instead of tiling the K/V
             return model.apply(
                 params, token, t, vis_in["feat"], cache,
-                method="decode_step", vis_kv=vis_in["kv"],
+                method="decode_step", vis_kv=vis_in["kv"], vis_fold=beam_size,
             )
 
         cache = model.apply(params, batch_size * beam_size, max_len, method="init_cache")
         res = beam_search(
             decode_fn, cache, {"feat": vis, "kv": kv}, batch_size, beam_size,
-            max_len, bos_idx, eos_idx, out_size=1,
+            max_len, bos_idx, eos_idx, out_size=1, tile_vis=False,
         )
         return res.sequences[:, 0]  # [B, T]
 

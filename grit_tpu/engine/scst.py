@@ -61,12 +61,13 @@ def make_generate_step(
             return model.apply(
                 params, token, t, vis_in["feat"], cache, method="decode_step",
                 deterministic=deterministic, rngs=rngs, vis_kv=vis_in["kv"],
+                vis_fold=beam_size,
             )
 
         cache = model.apply(params, batch_size * beam_size, max_len, method="init_cache")
         res = beam_search(
             decode_fn, cache, {"feat": vis, "kv": kv}, batch_size, beam_size,
-            max_len, bos_idx, eos_idx, out_size=beam_size,
+            max_len, bos_idx, eos_idx, out_size=beam_size, tile_vis=False,
         )
         return res.sequences, res.log_probs
 

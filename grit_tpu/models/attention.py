@@ -76,9 +76,18 @@ class Attention(nn.Module):
         *,
         deterministic: bool = True,
         kv_projected: bool = False,
+        kv_fold: int = 1,
     ) -> jnp.ndarray:
+        """``kv_fold=f``: q has f times as many rows as k/v — every f
+        consecutive q rows (e.g. the beams of one image) attend to the SAME
+        kv row.  The fold keeps decode-time visual K/V per-image instead of
+        beam-tiled: one batched dot over [B, H, f*nq, .] replaces f
+        duplicated ones, and the loop-invariant K/V tensors stay f times
+        smaller (the beam tiling at b128/k5 re-materialized ~50 ms of
+        broadcast/layout copies INSIDE the decode loop — docs/NOTES.md)."""
         d_k = self.d_model // self.n_heads
-        b, nq = q.shape[0], q.shape[1]
+        bq, nq = q.shape[0], q.shape[1]
+        b = bq // kv_fold
 
         qh = self.fc_q(q)
         if kv_projected:
@@ -99,9 +108,11 @@ class Attention(nn.Module):
             vh = jnp.concatenate([vh, mv.astype(vh.dtype)], axis=1)
 
         def split_heads(x):
-            return x.reshape(b, x.shape[1], self.n_heads, d_k).transpose(0, 2, 1, 3)
+            return x.reshape(x.shape[0], x.shape[1], self.n_heads, d_k).transpose(
+                0, 2, 1, 3)
 
-        qh, kh, vh = split_heads(qh), split_heads(kh), split_heads(vh)
+        qh = split_heads(qh.reshape(b, kv_fold * nq, self.d_model))
+        kh, vh = split_heads(kh), split_heads(vh)
         scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(d_k)
         if mask is not None:
             neg = jnp.asarray(-jnp.inf, scores.dtype)
@@ -113,7 +124,7 @@ class Attention(nn.Module):
         p = nn.softmax(scores, axis=-1)
         p = self.attn_drop(p, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(b, nq, self.d_model)
+        out = out.transpose(0, 2, 1, 3).reshape(bq, nq, self.d_model)
         return self.fc_o(out)
 
     def project_kv(self, k: jnp.ndarray, v: jnp.ndarray) -> KVCache:
@@ -149,17 +160,20 @@ class MultiHeadAttention(nn.Module):
         cache: Optional[KVCache] = None,
         cache_index: Optional[jnp.ndarray] = None,
         kv_projected: bool = False,
+        kv_fold: int = 1,
     ):
         """Returns output, or (output, new_cache) when a cache is given.
 
         With a cache, ``keys``/``values`` must be the current step's single
         token [B, 1, D]; attention runs over cache slots <= cache_index.
         ``kv_projected``: keys/values already went through fc_k/fc_v.
+        ``kv_fold``: see Attention.__call__ (beam-folded shared K/V).
         """
         if cache is None:
             out = self.attention(
                 queries, keys, values, mask,
                 deterministic=deterministic, kv_projected=kv_projected,
+                kv_fold=kv_fold,
             )
             out = self.drop(out, deterministic=deterministic)
             return self.layer_norm(queries + out)

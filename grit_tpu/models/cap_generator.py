@@ -93,7 +93,7 @@ class ParallelAttentionLayer(nn.Module):
         }
 
     def decode(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, cache, cache_index,
-               *, deterministic=True, vis_kv=None):
+               *, deterministic=True, vis_kv=None, vis_fold=1):
         self_att, cache = self.self_att(
             x, x, x, mask_x, deterministic=deterministic,
             cache=cache, cache_index=cache_index,
@@ -107,15 +107,17 @@ class ParallelAttentionLayer(nn.Module):
             k2, v2 = vis_kv["att2"]
             enc1 = self.vis_att1(
                 self_att, k1, v1, mask_y1, deterministic=deterministic,
-                kv_projected=True,
+                kv_projected=True, kv_fold=vis_fold,
             ) * mask_pad
             enc2 = self.vis_att2(
                 self_att, k2, v2, mask_y2, deterministic=deterministic,
-                kv_projected=True,
+                kv_projected=True, kv_fold=vis_fold,
             ) * mask_pad
         else:
-            enc1 = self.vis_att1(self_att, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
-            enc2 = self.vis_att2(self_att, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
+            enc1 = self.vis_att1(self_att, y1, y1, mask_y1, deterministic=deterministic,
+                                 kv_fold=vis_fold) * mask_pad
+            enc2 = self.vis_att2(self_att, y2, y2, mask_y2, deterministic=deterministic,
+                                 kv_fold=vis_fold) * mask_pad
         return self._fuse(self_att, enc1, enc2, mask_pad, deterministic=deterministic), cache
 
 
@@ -149,14 +151,16 @@ class SequentialAttentionLayer(nn.Module):
         return self.pwff(out, deterministic=deterministic) * mask_pad
 
     def decode(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, cache, cache_index,
-               *, deterministic=True):
+               *, deterministic=True, vis_fold=1):
         out, cache = self.self_att(
             x, x, x, mask_x, deterministic=deterministic,
             cache=cache, cache_index=cache_index,
         )
         out = out * mask_pad
-        out = self.vis_att1(out, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
-        out = self.vis_att2(out, y2, y2, mask_y2, deterministic=deterministic) * mask_pad
+        out = self.vis_att1(out, y1, y1, mask_y1, deterministic=deterministic,
+                            kv_fold=vis_fold) * mask_pad
+        out = self.vis_att2(out, y2, y2, mask_y2, deterministic=deterministic,
+                            kv_fold=vis_fold) * mask_pad
         return self.pwff(out, deterministic=deterministic) * mask_pad, cache
 
 
@@ -193,13 +197,14 @@ class ConcatAttentionLayer(nn.Module):
         return self.pwff(out, deterministic=deterministic) * mask_pad
 
     def decode(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, cache, cache_index,
-               *, deterministic=True):
+               *, deterministic=True, vis_fold=1):
         out, cache = self.self_att(
             x, x, x, mask_x, deterministic=deterministic,
             cache=cache, cache_index=cache_index,
         )
         out = out * mask_pad
-        out = self.vis_att(out, y1, y1, mask_y1, deterministic=deterministic) * mask_pad
+        out = self.vis_att(out, y1, y1, mask_y1, deterministic=deterministic,
+                           kv_fold=vis_fold) * mask_pad
         return self.pwff(out, deterministic=deterministic) * mask_pad, cache
 
 
@@ -307,8 +312,15 @@ class CaptionGenerator(nn.Module):
         *,
         deterministic: bool = True,
         vis_kv=None,              # optional per-layer precomputed visual K/V
+        vis_fold: int = 1,
     ):
-        """One decoding step -> (log-probs [B, V], new cache)."""
+        """One decoding step -> (log-probs [B, V], new cache).
+
+        ``vis_fold=f``: token/cache are beam-expanded [B*f, ...] while
+        ``vis_inputs``/``vis_kv`` stay per-image [B, ...] — the cross
+        attentions fold the beam dimension into the query rows
+        (attention.py ``kv_fold``) so the large visual K/V are never tiled.
+        """
         b = token.shape[0]
         is_pad = token == self.pad_idx  # [B, 1]
         mask_pad = (~is_pad)[..., None].astype(self.pos_emb.dtype)  # [B, 1, 1]
@@ -329,7 +341,7 @@ class CaptionGenerator(nn.Module):
                 kwargs["vis_kv"] = vis_kv[li]
             x, new_cache = layer.decode(
                 x, y1, y2, mask_pad, mask_x, m1, m2, layer_cache, t,
-                deterministic=deterministic, **kwargs,
+                deterministic=deterministic, vis_fold=vis_fold, **kwargs,
             )
             new_layer_caches.append(new_cache)
         logits = self.fc(x)[:, 0]  # [B, V]

@@ -128,9 +128,11 @@ class GRITCaptioner(nn.Module):
         *,
         deterministic: bool = True,
         vis_kv=None,
+        vis_fold: int = 1,
     ):
         return self.cap_generator.decode_step(
-            token, t, vis_inputs, cache, deterministic=deterministic, vis_kv=vis_kv
+            token, t, vis_inputs, cache, deterministic=deterministic,
+            vis_kv=vis_kv, vis_fold=vis_fold,
         )
 
     def init_cache(self, batch: int, t_max: int) -> DecodeCache:

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from grit_tpu.models.attention import LN_EPS
-from grit_tpu.ops.msda import ms_deform_attn
+from grit_tpu.ops.msda import ms_deform_attn_relaid
+from grit_tpu.ops.msda_pallas import relay_mask, relay_value
 from grit_tpu.utils.boxes import inverse_sigmoid
 
 xavier = nn.initializers.xavier_uniform()
@@ -92,19 +93,21 @@ class MSDeformAttnModule(nn.Module):
         self,
         query: jnp.ndarray,              # [B, Lq, C]
         reference_points: jnp.ndarray,   # [B, Lq, L, 2 or 4] (valid-ratio scaled)
-        src: jnp.ndarray,                # [B, S, C]
+        src: jnp.ndarray,                # [B, S_pad, C] RELAID (relay_value)
         spatial_shapes: Sequence[tuple[int, int]],
-        padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True = pad
+        padding_mask: Optional[jnp.ndarray] = None,  # [B, S_pad] True = pad (relaid)
     ) -> jnp.ndarray:
         b, lq, _ = query.shape
         m, L, p = self.n_heads, self.n_levels, self.n_points
-        d = self.d_model // m
 
+        # value stays in the natural [B, S_pad, C] projection layout — the
+        # per-layer [B, M, S, D] transpose + slab re-lay that cost ~95 ms of
+        # the b128 eval step are gone (re-lay hoisted to DetectionModule,
+        # head split handled inside the v4 kernel)
         value = nn.Dense(self.d_model, name="value_proj", dtype=self.dtype,
                          kernel_init=xavier)(src)
         if padding_mask is not None:
             value = jnp.where(padding_mask[..., None], 0.0, value)
-        value = value.reshape(b, -1, m, d)
 
         offset_bias = _msda_offset_bias(m, L, p)
         offsets = nn.Dense(
@@ -134,7 +137,9 @@ class MSDeformAttnModule(nn.Module):
                 + offsets / p * reference_points[:, :, None, :, None, 2:] * 0.5
             )
 
-        out = ms_deform_attn(value, spatial_shapes, loc, attn, impl=self.impl)
+        out = ms_deform_attn_relaid(
+            value, spatial_shapes, loc, attn, m, impl=self.impl
+        )
         return nn.Dense(self.d_model, name="output_proj", dtype=self.dtype,
                         kernel_init=xavier)(out)
 
@@ -299,6 +304,10 @@ class DetectionModule(nn.Module):
         src_flat = jnp.concatenate([s.reshape(b, -1, s.shape[-1]) for s in srcs], axis=1)
         mask_flat = jnp.concatenate([m.reshape(b, -1) for m in masks], axis=1)
         valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)  # [B, L, 2]
+        # re-lay the memory ONCE for all decoder layers' MSDA calls (identity
+        # when every level size is a multiple of 8, e.g. the 384x640 pyramid)
+        src_flat = relay_value(src_flat, spatial_shapes)
+        mask_flat = relay_mask(mask_flat, spatial_shapes)
 
         # touch the classification heads so their parameters exist even on the
         # caption-flavor path that never runs detection_head — the reference

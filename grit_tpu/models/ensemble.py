@@ -40,7 +40,10 @@ def make_ensemble_generator(
         def decode_fn(token, t, vis_tuple, caches):
             logps, new_caches = [], []
             for p, vis, cache in zip(params_list, vis_tuple, caches):
-                lp, c = model.apply(p, token, t, vis, cache, method="decode_step")
+                lp, c = model.apply(
+                    p, token, t, vis, cache, method="decode_step",
+                    vis_fold=beam_size,
+                )
                 logps.append(lp)
                 new_caches.append(c)
             return jnp.stack(logps).mean(0), tuple(new_caches)
@@ -51,7 +54,7 @@ def make_ensemble_generator(
         )
         return beam_search(
             decode_fn, caches, tuple(vis_list), batch_size, beam_size, max_len,
-            bos_idx, eos_idx, out_size=out_size,
+            bos_idx, eos_idx, out_size=out_size, tile_vis=False,
         )
 
     return jax.jit(generate, static_argnums=(1,))

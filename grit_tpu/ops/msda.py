@@ -249,6 +249,41 @@ def _msda_window_gather(value, spatial_shapes, sampling_locations, attention_wei
     return out.transpose(0, 2, 1, 3).reshape(n, lq, m * d)
 
 
+def ms_deform_attn_relaid(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    num_heads: int,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """MSDA on a RELAID [N, S_pad, C] value slab -> [N, Lq, C].
+
+    The hot-path entry used by the decoder layers: ``value`` stays in its
+    natural post-projection layout, re-laid ONCE per forward by
+    ``msda_pallas.relay_value`` (a no-op for level grids whose sizes are
+    already multiples of 8, e.g. the production 384x640 pyramid) and hoisted
+    out of the 6 per-layer calls.  ``impl='pallas'`` runs the v4 kernel
+    directly on the slab; other impls un-relay and use the [N, S, M, D]
+    formulations (the CPU/oracle paths).
+    """
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    if impl == "pallas":
+        from grit_tpu.ops.msda_pallas import ms_deform_attn_pallas_relaid
+
+        return ms_deform_attn_pallas_relaid(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    from grit_tpu.ops.msda_pallas import unrelay_value
+
+    n = value.shape[0]
+    val = unrelay_value(value, spatial_shapes)
+    val = val.reshape(n, val.shape[1], num_heads, val.shape[2] // num_heads)
+    return ms_deform_attn(
+        val, spatial_shapes, sampling_locations, attention_weights, impl=impl
+    )
+
+
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Sequence[tuple[int, int]],

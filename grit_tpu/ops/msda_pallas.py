@@ -396,3 +396,382 @@ def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations, attention_w
     """Pallas forward; backward = Pallas selector-transpose kernels (dW/dValue)
     chained with XLA autodiff of the index/weight prep (dLoc/dAttn)."""
     return _pallas_forward(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+# ---------------------------------------------------------------------------
+# v4: the relaid-slab kernel — one program per IMAGE, all heads inside.
+#
+# The v2 kernel's per-(image, head) grid needs value in a [N*M, S, D]
+# head-major layout, which costs a [N, M, S, D] transpose copy plus the
+# aligned-spans slice/pad/concat re-lay PER LAYER (the trace at b128 charged
+# ~95 ms of the 737 ms eval step to exactly these: 6x 3.9 ms transpose
+# copies, 6x 4 ms slices, 24 ms of pad/concat fusions, 6x 2 ms where-mask
+# layout copies — docs/NOTES.md round-3).  v4 removes ALL of it:
+#
+# - value stays in its NATURAL post-projection layout [N, S_pad, C] (the
+#   value_proj matmul output); levels are sliced along sublanes in-kernel.
+#   When every level size is a multiple of 8 (the production 384x640 grid:
+#   starts 0/3840/4800/5040) S_pad == S and no re-lay exists at all; other
+#   shapes re-lay the SOURCE once per forward (relay_value below), hoisted
+#   out of the 6 decoder layers.
+# - heads are processed in PAIRS sharing one 128-lane slab slice
+#   value[st:st+sl, 2j*d:(2j+2)*d]: each head's selection matrix contracts
+#   against the full pair slab (the MXU pads N=64 lanes to 128 anyway, so
+#   the dot count is unchanged), and a single lane-select merges the two
+#   [Lq, 2d] partials — no sub-tile (64-lane) slices anywhere.
+# - the output lands directly in the final [N, Lq, M*D] layout (the v2 path
+#   paid a second transpose after the kernel).
+#
+# VPU/MXU work is otherwise identical to v2 (same per-level selection
+# matrices, same per-head contractions); the shifted column tensors are now
+# built once per level and shared by all heads.
+# ---------------------------------------------------------------------------
+
+
+def _spans_v4(spatial_shapes):
+    """Per-level (start, size) with 8-aligned starts and no lead/tail pads.
+
+    Returns (starts, sizes, s_pad); s_pad == sum(sizes) iff every level size
+    is already a multiple of 8 (then the relaid layout IS the natural one).
+    """
+    starts, sizes = [], []
+    off = 0
+    for h, w in spatial_shapes:
+        starts.append(off)
+        sizes.append(h * w)
+        off += -(-(h * w) // 8) * 8
+    return starts, sizes, off
+
+
+def needs_relay(spatial_shapes) -> bool:
+    starts, sizes, s_pad = _spans_v4(spatial_shapes)
+    return s_pad != sum(sizes)
+
+
+def relay_value(x, spatial_shapes):
+    """[N, S, ...] -> [N, S_pad, ...] with every level start 8-aligned.
+
+    Identity when the natural layout already conforms.  Done ONCE on the
+    decoder memory (det_module hoists it out of the per-layer MSDA calls).
+    """
+    starts, sizes, s_pad = _spans_v4(spatial_shapes)
+    if s_pad == sum(sizes):
+        return x
+    orig = level_start_index(spatial_shapes)
+    segs = []
+    for st_o, sz in zip(orig, sizes):
+        seg = jax.lax.slice_in_dim(x, st_o, st_o + sz, axis=1)
+        pad = -(-sz // 8) * 8 - sz
+        if pad:
+            widths = [(0, 0)] * x.ndim
+            widths[1] = (0, pad)
+            seg = jnp.pad(seg, widths)
+        segs.append(seg)
+    return jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
+
+
+def relay_mask(mask, spatial_shapes):
+    """[N, S] bool pad mask -> [N, S_pad]; relay pad slots are True (padded)."""
+    starts, sizes, s_pad = _spans_v4(spatial_shapes)
+    if s_pad == sum(sizes):
+        return mask
+    orig = level_start_index(spatial_shapes)
+    segs = []
+    for st_o, sz in zip(orig, sizes):
+        seg = jax.lax.slice_in_dim(mask, st_o, st_o + sz, axis=1)
+        pad = -(-sz // 8) * 8 - sz
+        if pad:
+            seg = jnp.pad(seg, [(0, 0), (0, pad)], constant_values=True)
+        segs.append(seg)
+    return jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
+
+
+def unrelay_value(x, spatial_shapes):
+    """Inverse of relay_value (for the non-pallas fallback paths)."""
+    starts, sizes, s_pad = _spans_v4(spatial_shapes)
+    if s_pad == sum(sizes):
+        return x
+    segs = [
+        jax.lax.slice_in_dim(x, st, st + sz, axis=1)
+        for st, sz in zip(starts, sizes)
+    ]
+    return jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
+
+
+def _prepare_indices_v4(spatial_shapes, sampling_locations, attention_weights):
+    """Corner data in head-major [N, M, Lq, .] layout against the v4 spans."""
+    n, lq, m, L, p, _ = sampling_locations.shape
+    hs = np.array([h for h, _ in spatial_shapes], np.float32)
+    ws = np.array([w for _, w in spatial_shapes], np.float32)
+    st = np.array(_spans_v4(spatial_shapes)[0], np.int32)
+
+    px = sampling_locations[..., 0] * ws[None, None, None, :, None] - 0.5
+    py = sampling_locations[..., 1] * hs[None, None, None, :, None] - 0.5
+    ix, iy, wgt, valid = _bilinear_corners(
+        px, py, hs[None, None, None, :, None, None], ws[None, None, None, :, None, None]
+    )  # [N, Lq, M, L, P, 4]
+    ixc = jnp.clip(ix, 0, (ws - 1).astype(np.int32)[None, None, None, :, None, None])
+    iyc = jnp.clip(iy, 0, (hs - 1).astype(np.int32)[None, None, None, :, None, None])
+    flat = (
+        st[None, None, None, :, None, None]
+        + iyc * ws.astype(np.int32)[None, None, None, :, None, None]
+        + ixc
+    )
+    w_total = jnp.where(valid, wgt, 0.0) * attention_weights[..., None]
+
+    x0 = ix[..., 0]
+    y0 = iy[..., 0]
+    base = (
+        st[None, None, None, :, None]
+        + y0 * ws.astype(np.int32)[None, None, None, :, None]
+        + x0
+    )
+    lo = (st - ws.astype(np.int32) - 1)[None, None, None, :, None]
+    hi = (st + (hs * ws).astype(np.int32))[None, None, None, :, None]
+    base = jnp.clip(base, lo, hi)
+
+    c = L * p * 4
+    idx_h = flat.reshape(n, lq, m, c).transpose(0, 2, 1, 3)      # [N, M, Lq, C]
+    w_h = w_total.reshape(n, lq, m, c).transpose(0, 2, 1, 3)
+    base_h = base.reshape(n, lq, m, L * p).transpose(0, 2, 1, 3)
+    return idx_h, w_h, base_h
+
+
+def _head_pairs(m: int):
+    """(lane_start, heads) groups: pairs when the head count is even."""
+    if m % 2 == 0:
+        return [(2 * j, (2 * j, 2 * j + 1)) for j in range(m // 2)]
+    return [(h, (h,)) for h in range(m)]
+
+
+def _gather_matmul_kernel_v4(
+    base_ref, w_ref, value_ref, out_ref, *, spans, npts, wdims, dhead
+):
+    """One program per IMAGE: all heads, natural [S_pad, C] value layout.
+
+    Per level the shifted column tensors are built once and shared across
+    heads; each head's per-level selection matrix contracts against the
+    128-lane head-PAIR slab slice, and a lane select merges the pair.
+    """
+    lq = base_ref.shape[2]
+    m = base_ref.shape[1]
+    value = value_ref[0]                      # [S_pad, C]
+    pairs = _head_pairs(m)
+    accs = [
+        [jnp.zeros((lq, dhead * len(hh)), jnp.float32) for hh in (heads,)][0]
+        for _, heads in pairs
+    ]
+    for lvl, (st, sl) in enumerate(spans):
+        wl = wdims[lvl]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, sl), 1) + st
+        shifted = [col_ids - delta for delta in (0, 1, wl, wl + 1)]
+        for gi, (lane0, heads) in enumerate(pairs):
+            gw = dhead * len(heads)
+            vsl = jax.lax.slice_in_dim(value, st, st + sl, axis=0)
+            vsl = jax.lax.slice_in_dim(vsl, lane0 * dhead, lane0 * dhead + gw, axis=1)
+            parts = []
+            for h in heads:
+                base = base_ref[0, h]          # [Lq, L*P]
+                wts = w_ref[0, h]              # [Lq, L*P*4]
+                selm = jnp.zeros((lq, sl), jnp.float32)
+                for pt in range(lvl * npts, (lvl + 1) * npts):
+                    b = jax.lax.slice_in_dim(base, pt, pt + 1, axis=1)
+                    for ci in range(4):
+                        ww = jax.lax.slice_in_dim(
+                            wts, pt * 4 + ci, pt * 4 + ci + 1, axis=1)
+                        selm = selm + jnp.where(
+                            shifted[ci] == b, ww.astype(jnp.float32), 0.0)
+                parts.append(jax.lax.dot_general(
+                    selm.astype(value.dtype), vsl, (((1,), (0,)), ((), ())),
+                    precision=_precision_for(value.dtype),
+                    preferred_element_type=jnp.float32,
+                ))                             # [Lq, gw]; head h valid only in
+            if len(parts) == 2:                # its own d-lane block
+                lane = jax.lax.broadcasted_iota(jnp.int32, (lq, gw), 1)
+                part = jnp.where(lane < dhead, parts[0], parts[1])
+            else:
+                part = parts[0]
+            accs[gi] = accs[gi] + part
+    for gi, (lane0, heads) in enumerate(pairs):
+        gw = dhead * len(heads)
+        out_ref[0, :, lane0 * dhead:lane0 * dhead + gw] = accs[gi].astype(
+            out_ref.dtype)
+
+
+def _gather_bwd_kernel_v4(
+    idx_ref, w_ref, value_ref, dout_ref, dw_ref, dval_ref,
+    *, spans, spl, dhead
+):
+    """v4 backward: dW and dValue in the same natural layouts.
+
+    dValue_l = selm^T @ dOut_pair, pair-merged by lane select (no scatter);
+    dW picks its per-corner column out of dOut_head @ V_pair^T with the
+    head's half of dOut masked so the 128-lane contraction stays aligned.
+    """
+    lq = idx_ref.shape[2]
+    m = idx_ref.shape[1]
+    value = value_ref[0]                      # [S_pad, C]
+    dout = dout_ref[0]                        # [Lq, C]
+    pairs = _head_pairs(m)
+
+    dval_ref[0] = jnp.zeros(dval_ref.shape[1:], dval_ref.dtype)
+    for lvl, (st, sl) in enumerate(spans):
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, sl), 1) + st
+        for lane0, heads in pairs:
+            gw = dhead * len(heads)
+            vsl = jax.lax.slice_in_dim(value, st, st + sl, axis=0)
+            vsl = jax.lax.slice_in_dim(vsl, lane0 * dhead, lane0 * dhead + gw, axis=1)
+            do_pair = jax.lax.slice_in_dim(
+                dout, lane0 * dhead, lane0 * dhead + gw, axis=1)  # [Lq, gw]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (lq, gw), 1)
+            dv_parts = []
+            for hi_, h in enumerate(heads):
+                idx = idx_ref[0, h]
+                wts = w_ref[0, h]
+                selm = jnp.zeros((lq, sl), jnp.float32)
+                for ci in range(lvl * spl, (lvl + 1) * spl):
+                    sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)
+                    ww = jax.lax.slice_in_dim(wts, ci, ci + 1, axis=1)
+                    selm = selm + jnp.where(
+                        col_ids == sel, ww.astype(jnp.float32), 0.0)
+                dv_parts.append(jax.lax.dot_general(
+                    selm.astype(do_pair.dtype), do_pair, (((0,), (0,)), ((), ())),
+                    precision=_precision_for(value.dtype),
+                    preferred_element_type=jnp.float32,
+                ))                             # [S_l, gw]
+                if len(heads) == 2:
+                    half = lane < dhead if hi_ == 0 else lane >= dhead
+                    do_h = jnp.where(half, do_pair, jnp.zeros((), do_pair.dtype))
+                else:
+                    do_h = do_pair
+                dov = jax.lax.dot_general(     # [Lq, S_l]
+                    do_h, vsl, (((1,), (1,)), ((), ())),
+                    precision=_precision_for(value.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                dw_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (lq, idx_ref.shape[3]), 1)
+                dw = jnp.zeros((lq, idx_ref.shape[3]), jnp.float32)
+                for ci in range(lvl * spl, (lvl + 1) * spl):
+                    sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)
+                    dw_ci = jnp.sum(
+                        jnp.where(col_ids == sel, dov, 0.0), axis=1, keepdims=True)
+                    dw = dw + jnp.where(dw_lane == ci, dw_ci, 0.0)
+                if lvl == 0:
+                    dw_ref[0, h] = dw.astype(dw_ref.dtype)
+                else:
+                    dw_ref[0, h] = dw_ref[0, h] + dw.astype(dw_ref.dtype)
+            if len(dv_parts) == 2:
+                slane = jax.lax.broadcasted_iota(jnp.int32, dv_parts[0].shape, 1)
+                dv = jnp.where(slane < dhead, dv_parts[0], dv_parts[1])
+            else:
+                dv = dv_parts[0]
+            dval_ref[0, st:st + sl, lane0 * dhead:lane0 * dhead + gw] = dv.astype(
+                dval_ref.dtype)
+
+
+def _gather_call_v4(base_h, w_h, value, spans, npts, wdims, dhead):
+    n, m, lq, _ = w_h.shape
+    s_pad, c = value.shape[1], value.shape[2]
+    kernel = functools.partial(
+        _gather_matmul_kernel_v4, spans=spans, npts=npts, wdims=wdims, dhead=dhead
+    )
+    cp = base_h.shape[3]
+    cw = w_h.shape[3]
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, m, lq, cp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, lq, cw), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, lq, c), value.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * lq * sum(sz for _, sz in spans) * 2 * dhead,
+            bytes_accessed=4 * (value.size + base_h.size + w_h.size + n * lq * c),
+            transcendentals=0,
+        ),
+        # the whole-image working set (double-buffered [S_pad, C] slab +
+        # per-level selection matrices and shifted column tensors) exceeds
+        # the 16 MB default scoped-vmem budget; v5e has 128 MB physical
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(base_h, w_h, value)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _gather_op_v4(idx_h, base_h, w_h, value, spans, npts, wdims, dhead):
+    return _gather_call_v4(base_h, w_h, value, spans, npts, wdims, dhead)
+
+
+def _gather_fwd_v4(idx_h, base_h, w_h, value, spans, npts, wdims, dhead):
+    out = _gather_call_v4(base_h, w_h, value, spans, npts, wdims, dhead)
+    return out, (idx_h, w_h, value)
+
+
+def _gather_bwd_v4(spans, npts, wdims, dhead, residuals, dout):
+    idx_h, w_h, value = residuals
+    n, m, lq, c = idx_h.shape
+    s_pad, cc = value.shape[1], value.shape[2]
+    kernel = functools.partial(
+        _gather_bwd_kernel_v4, spans=spans, spl=npts * 4, dhead=dhead
+    )
+    dw, dval = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, m, lq, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, lq, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m, lq, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, m, lq, c), w_h.dtype),
+            jax.ShapeDtypeStruct((n, s_pad, cc), value.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * m * lq * sum(sz for _, sz in spans) * 2 * dhead,
+            bytes_accessed=8 * (value.size + idx_h.size + w_h.size),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(idx_h, w_h, value, dout)
+    didx = np.zeros(idx_h.shape, jax.dtypes.float0)
+    dbase = np.zeros(idx_h.shape[:3] + (idx_h.shape[3] // 4,), jax.dtypes.float0)
+    return didx, dbase, dw, dval
+
+
+_gather_op_v4.defvjp(_gather_fwd_v4, _gather_bwd_v4)
+
+
+def ms_deform_attn_pallas_relaid(
+    value, spatial_shapes, sampling_locations, attention_weights
+):
+    """MSDA on a RELAID [N, S_pad, C] value slab (see relay_value) -> [N, Lq, C].
+
+    The hot-path entry: value stays in its natural post-projection layout
+    (no [N, M, S, D] transpose, no per-call re-lay), heads are handled
+    in-kernel.  C = num_heads * head_dim with head h at lanes [h*d, (h+1)*d).
+    """
+    n, s_pad, c = value.shape
+    _, lq, m, L, p, _ = sampling_locations.shape
+    dhead = c // m
+    starts, sizes, s_pad_want = _spans_v4(spatial_shapes)
+    if s_pad != s_pad_want:
+        raise ValueError(
+            f"value slab has {s_pad} rows; spans want {s_pad_want} "
+            "(pass it through relay_value first)"
+        )
+    idx_h, w_h, base_h = _prepare_indices_v4(
+        spatial_shapes, sampling_locations, attention_weights
+    )
+    wdims = tuple(int(w_) for _, w_ in spatial_shapes)
+    return _gather_op_v4(
+        idx_h, base_h, w_h, value,
+        tuple(zip(starts, sizes)), p, wdims, dhead,
+    )

@@ -175,6 +175,68 @@ class TestBeamSearch:
         assert res.sequences.shape == (2, 1, MAXLEN)
 
 
+class TestBeamFold:
+    def test_folded_vis_matches_tiled(self, model_and_params):
+        """tile_vis=False + vis_fold must reproduce the tiled beam search
+        exactly — sequences, scores, and per-step log-probs (the evaluator
+        and SCST sampler both run the folded path)."""
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        kv = model.apply(params, vis, method="precompute_vis_kv")
+        k = 3
+
+        def fn_tiled(token, t, vis_in, cache):
+            return model.apply(params, token, t, vis_in["feat"], cache,
+                               method="decode_step", vis_kv=vis_in["kv"])
+
+        def fn_folded(token, t, vis_in, cache):
+            return model.apply(params, token, t, vis_in["feat"], cache,
+                               method="decode_step", vis_kv=vis_in["kv"],
+                               vis_fold=k)
+
+        c1 = model.apply(params, 2 * k, MAXLEN, method="init_cache")
+        c2 = model.apply(params, 2 * k, MAXLEN, method="init_cache")
+        vin = {"feat": vis, "kv": kv}
+        r_tiled = beam_search(fn_tiled, c1, vin, 2, k, MAXLEN, BOS, EOS,
+                              out_size=k)
+        r_fold = beam_search(fn_folded, c2, vin, 2, k, MAXLEN, BOS, EOS,
+                             out_size=k, tile_vis=False)
+        np.testing.assert_array_equal(
+            np.asarray(r_tiled.sequences), np.asarray(r_fold.sequences))
+        np.testing.assert_allclose(
+            np.asarray(r_tiled.scores), np.asarray(r_fold.scores),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(r_tiled.log_probs), np.asarray(r_fold.log_probs),
+            rtol=1e-5, atol=1e-6)
+
+    def test_folded_without_vis_kv(self, model_and_params):
+        """The fold also works on the raw-features path (no precomputed KV)
+        used by the sequential/concat decoder variants."""
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        k = 2
+
+        def fn_tiled(token, t, vis_in, cache):
+            return model.apply(params, token, t, vis_in, cache,
+                               method="decode_step")
+
+        def fn_folded(token, t, vis_in, cache):
+            return model.apply(params, token, t, vis_in, cache,
+                               method="decode_step", vis_fold=k)
+
+        c1 = model.apply(params, 2 * k, MAXLEN, method="init_cache")
+        c2 = model.apply(params, 2 * k, MAXLEN, method="init_cache")
+        r_tiled = beam_search(fn_tiled, c1, vis, 2, k, MAXLEN, BOS, EOS)
+        r_fold = beam_search(fn_folded, c2, vis, 2, k, MAXLEN, BOS, EOS,
+                             tile_vis=False)
+        np.testing.assert_array_equal(
+            np.asarray(r_tiled.sequences), np.asarray(r_fold.sequences))
+        np.testing.assert_allclose(
+            np.asarray(r_tiled.scores), np.asarray(r_fold.scores),
+            rtol=1e-5, atol=1e-6)
+
+
 class TestBatchingInvariance:
     def test_same_image_same_caption_regardless_of_batchmates(self, model_and_params):
         """An image's beam output must not depend on what else is in the

@@ -195,6 +195,108 @@ class TestMSDA:
                 err_msg=f"grad mismatch for {name}",
             )
 
+    def test_pallas_v4_relaid_matches_reference_interpret(self, msda_inputs):
+        """The v4 relaid-slab kernel (natural [N, S_pad, C] value layout, one
+        program per image, in-kernel head pairs) vs the oracle.  The fixture's
+        level sizes (24, 6, 4) are NOT all multiples of 8, so this also
+        exercises the hoisted relay path."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        assert mp.needs_relay(shapes)
+        relaid = mp.relay_value(value.reshape(n, s, m * d), shapes)
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            out = np.asarray(
+                mp.ms_deform_attn_pallas_relaid(relaid, shapes, loc, w)
+            )
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_v4_aligned_no_relay(self, msda_inputs):
+        """When every level size is a multiple of 8 the relay is an identity
+        (the production 384x640 pyramid case) and parity still holds."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        value, _, loc, w = msda_inputs
+        shapes = ((4, 4), (2, 4), (2, 4))  # 16 + 8 + 8 rows, all multiples of 8
+        n, s0, m, d = value.shape
+        s = sum(h * w for h, w in shapes)
+        val = value[:, :s]
+        assert not mp.needs_relay(shapes)
+        # identity: relay returns the input object untouched
+        flat = val.reshape(n, s, m * d)
+        assert mp.relay_value(flat, shapes) is flat
+        ref = np.asarray(ms_deform_attn_reference(val, shapes, loc, w))
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            out = np.asarray(mp.ms_deform_attn_pallas_relaid(flat, shapes, loc, w))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_v4_grads(self, msda_inputs):
+        """v4 backward kernel (pair-merged dValue, masked-half dW) matches
+        direct autodiff of the XLA formulation through the relay."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        def loss_v4(v, l, a):
+            relaid = mp.relay_value(v.reshape(n, s, m * d), shapes)
+            return jnp.sum(mp.ms_deform_attn_pallas_relaid(relaid, shapes, l, a) ** 2)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            g_p = jax.grad(loss_v4, argnums=(0, 1, 2))(value, loc, w)
+        g_x = jax.grad(
+            lambda v, l, a: jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2),
+            argnums=(0, 1, 2),
+        )(value, loc, w)
+        for name, gp, gx in zip(["value", "loc", "attn"], g_p, g_x):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-5,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_relaid_dispatcher_non_pallas(self, msda_inputs):
+        """ms_deform_attn_relaid with a non-pallas impl un-relays and matches."""
+        from grit_tpu.ops.msda import ms_deform_attn_relaid
+        from grit_tpu.ops.msda_pallas import relay_value
+
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+        relaid = relay_value(value.reshape(n, s, m * d), shapes)
+        out = np.asarray(ms_deform_attn_relaid(relaid, shapes, loc, w, m, impl="flat"))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
     def test_grit_sizes_smoke(self):
         # GRIT production sizes: L=4 levels of a 384x640 image, M=8, D=64, Lq=150
         shapes = ((48, 80), (24, 40), (12, 20), (6, 10))
