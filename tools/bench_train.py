@@ -97,6 +97,19 @@ def main(argv=None):
                 f"median step={ms:.1f} ms  {ips:.1f} img/s/chip  "
                 f"(iters: {[f'{1e3*t:.1f}' for t in times]})"
             )
+            # sustained: K chained steps, ONE fence at the end — the real
+            # epoch loop's dispatch pattern (engine/loops.py drains metrics
+            # in chunks, never per-step), so no ~25-30 ms tunnel RTT per step
+            k = max(args.iters, 8)
+            t0 = time.time()
+            for i in range(k):
+                state, metrics = step_fn(state, *stepargs, jax.random.PRNGKey(100 + i))
+            _ = np.asarray(metrics["loss"])
+            sus = 1e3 * (time.time() - t0) / k
+            print(
+                f"[{tag} b={b}] sustained (chained x{k}): {sus:.1f} ms/step  "
+                f"{per_iter_images(b) / (sus / 1e3):.1f} img/s/chip"
+            )
 
     if args.phase in ("xe", "both"):
         sched = dict(num_epochs=10, num_its_per_epoch=1000, init_lr=1e-4,
