@@ -84,6 +84,12 @@ def train_xe_epoch(
     """One XE epoch + validation loss (caption_engine.py:312-385)."""
     import jax.numpy as jnp
 
+    from grit_tpu.parallel.distributed import barrier
+
+    # align ranks before the first (compile-triggering) dispatch of each
+    # program: the per-executable Gloo context init tolerates only ~30 s of
+    # rank skew (see parallel/distributed.py::barrier)
+    barrier("xe_epoch_start")
     state = state.epoch_tick()  # the reference's epoch-start scheduler.step()
     running = 0.0
     n = 0
@@ -119,6 +125,10 @@ def train_xe_epoch(
             )
         else:
             batch = {"samples": batch["samples"], "captions": batch["captions"]}
+        if it == 0:
+            from grit_tpu.parallel.distributed import align_compile
+
+            align_compile(xe_step, state, batch, step_rng, tag="xe_step")
         state, metrics = xe_step(state, batch, step_rng)
         pending_loss.append(metrics["loss"])
         if writer is not None:
@@ -128,6 +138,7 @@ def train_xe_epoch(
     drain()
     train_loss = running / max(n, 1)
 
+    barrier("xe_val_start")  # val-loss program first-run alignment
     val_running = 0.0
     vn = 0
     val_nominal = None
@@ -146,6 +157,10 @@ def train_xe_epoch(
             b = pad_to_multiple(b, val_nominal, int_fill=pad_idx, int_first=bos_idx)
         if mesh is not None:
             b = shard_batch(b, mesh, int_fill=pad_idx, int_first=bos_idx)
+        if vn == 0:
+            from grit_tpu.parallel.distributed import align_compile
+
+            align_compile(eval_loss_step, state.params, b, tag="xe_val")
         val_running += float(eval_loss_step(state.params, b))
         vn += 1
     val_loss = val_running / max(vn, 1)
@@ -161,9 +176,13 @@ def train_sc_epoch(
     *, beam_size, epoch, rng, mesh=None, pad_idx: int = 1, bos_idx: int = 2,
 ):
     """One SCST epoch (caption_engine.py:388-492) with gen/reward overlap."""
+    from grit_tpu.parallel.distributed import barrier
+
+    barrier("sc_epoch_start")  # see train_xe_epoch
     running = {"loss": 0.0, "reward": 0.0, "reward_baseline": 0.0}
     n = 0
     pending = None  # (samples, sequences_device, captions)
+    upd_aligned = False  # scst_update first-run rank alignment done
 
     def reward_and_update(state, samples, sequences, captions, rng):
         seqs = np.asarray(sequences)  # [Bpad, beam, T] (device -> host sync point)
@@ -177,6 +196,13 @@ def train_sc_epoch(
         reward = np.concatenate(
             [reward, np.zeros((b_pad - b, k), np.float32)], axis=0
         )
+        nonlocal upd_aligned
+        if not upd_aligned:
+            from grit_tpu.parallel.distributed import align_compile
+
+            align_compile(scst_update, state, samples, sequences, reward,
+                          np.float32(b), rng, tag="sc_update")
+            upd_aligned = True
         state, metrics = scst_update(
             state, samples, sequences, reward, np.float32(b), rng
         )
@@ -188,6 +214,11 @@ def train_sc_epoch(
             samples = shard_batch(samples, mesh)
         bs = int(jax.tree.leaves(samples)[0].shape[0])  # padded size for the jitted search
         rng, gen_rng, upd_rng = jax.random.split(rng, 3)
+        if n == 0 and pending is None:
+            from grit_tpu.parallel.distributed import align_compile
+
+            align_compile(generate_step, state.params, samples, bs, gen_rng,
+                          tag="sc_gen")
         sequences, _ = generate_step(state.params, samples, bs, gen_rng)
         # overlap: while the device generates this batch, score the previous
         if pending is not None:
@@ -203,11 +234,16 @@ def train_sc_epoch(
             running[k] += float(metrics[k])
         n += 1
 
+    barrier("sc_val_start")
     val_running, vn = 0.0, 0
     for batch in dataloaders["valid"]:
         b = {"samples": batch["samples"], "captions": batch["captions"]}
         if mesh is not None:
             b = shard_batch(b, mesh, int_fill=pad_idx, int_first=bos_idx)
+        if vn == 0:
+            from grit_tpu.parallel.distributed import align_compile
+
+            align_compile(eval_loss_step, state.params, b, tag="sc_val")
         val_running += float(eval_loss_step(state.params, b))
         vn += 1
 

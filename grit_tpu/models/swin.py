@@ -40,13 +40,19 @@ from grit_tpu.ops.window import (
 
 
 def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
-    """Stochastic depth: drop the residual branch per sample (timm semantics)."""
+    """Stochastic depth: drop the residual branch per sample (timm semantics).
+
+    Dtype-preserving: a non-weak ``rate`` (e.g. a numpy float64 out of
+    np.linspace) would otherwise promote bf16 activations to f32 — which
+    silently doubled the resident-map kernels' VMEM footprint in training
+    (stage-4 attention backward OOM'd the 16 MB scoped limit).
+    """
     if deterministic or rate == 0.0:
         return x
-    keep = 1.0 - rate
+    keep = 1.0 - float(rate)
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape)
-    return jnp.where(mask, x / keep, 0.0)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 class Mlp(nn.Module):
@@ -118,7 +124,7 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias_mask=None, *, deterministic=True, n_windows=None,
-                 x_map=None):
+                 x_map=None, resident=None):
         """x: [B*nW, N, C] with N = window²; bias_mask: [nW, N, N] additive or None.
 
         ``x_map`` selects the whole-block kernel path: pass the
@@ -127,6 +133,12 @@ class WindowAttention(nn.Module):
         projection and window reverse all run in one Pallas kernel; returns
         [B, Hp, Wp, C].  Parameter names/shapes are identical to the
         standard path, so checkpoints are interchangeable.
+
+        ``resident`` selects the fused block-STEP path on a resident padded
+        map: pass ``(lns, lnb, real_hw, shift, residual)`` together with
+        ``x_map`` holding the RAW (pre-LN1) padded + pre-rolled map; LN1,
+        the pad-token zeroing, attention, output projection and the residual
+        all run in one kernel (grit_tpu.ops.window_attention.fused_block_step).
         """
         h = self.num_heads
         if x_map is not None:
@@ -143,6 +155,29 @@ class WindowAttention(nn.Module):
         )
         rel_idx = relative_position_index((self.window, self.window))  # [N, N]
         bias = table[rel_idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+
+        if resident is not None:
+            from grit_tpu.ops.window_attention import fused_block_step
+
+            lns, lnb, real_hw, shift, residual = resident
+            if bias_mask is not None:
+                combined = (
+                    bias[None].astype(jnp.float32)
+                    + bias_mask[:, None].astype(jnp.float32)
+                )
+            else:
+                combined = bias[None].astype(jnp.float32)
+            wqkv, bqkv = _DenseParams(3 * c, c, name="qkv")()
+            wproj, bproj = _DenseParams(c, c, name="proj")()
+            if self.dtype is not None:
+                wqkv, bqkv = wqkv.astype(self.dtype), bqkv.astype(self.dtype)
+                wproj, bproj = wproj.astype(self.dtype), bproj.astype(self.dtype)
+            out = fused_block_step(
+                x_map, lns, lnb, wqkv, bqkv, wproj, bproj, combined,
+                scale=d ** -0.5, num_heads=h, window=self.window,
+                real_hw=real_hw, shift=shift, residual=residual, eps=LN_EPS,
+            )
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
         if x_map is not None:
             from grit_tpu.ops.window_attention import fused_block_attention
@@ -239,6 +274,13 @@ class SwinBlock(nn.Module):
         # each fused path gates on its dropout being inert, not on eval.
         # GRIT runs attn_drop=0 and drop=0 (swin_model.py:697), so both
         # kernels are active during training; drop-path applies OUTSIDE.
+        if x.ndim == 4:
+            # resident padded-map fast path (BasicLayer pads once per stage):
+            # LN1 + pad-token masking + attention + residual run in ONE
+            # Pallas kernel (fused_block_step); the map stays padded (and,
+            # for shifted blocks, rolled) through the MLP kernel, so a block
+            # contributes zero XLA data-formatting ops between kernels.
+            return self._resident_block(x, hw, deterministic)
         h, w = hw
         b, L, c = x.shape
         shortcut = x
@@ -308,6 +350,49 @@ class SwinBlock(nn.Module):
         rng2 = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         return x + drop_path(mlp_out, self.drop_path_rate, deterministic, rng2)
 
+    def _resident_block(self, x, hw: tuple[int, int], deterministic: bool):
+        """x: [B, Hp, Wp, C] RAW resident padded map -> same (unrolled coords).
+
+        Caller (BasicLayer) only selects this path when ``deterministic``
+        (eval, or a frozen stage during training), so dropout and drop-path
+        are inert and both residuals live inside the kernels.
+        """
+        from grit_tpu.ops.window_attention import fused_mlp
+
+        assert deterministic, "resident mode is gated on deterministic"
+        b, hp, wp, c = x.shape
+        lns, lnb = _LayerNormParams(self.dim, name="norm1")()
+
+        if self.shift > 0:
+            x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(hp, wp, self.window, self.shift))
+        else:
+            mask = None
+
+        attn = WindowAttention(
+            self.dim, self.window, self.num_heads,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            fused=True, dtype=self.dtype, name="attn",
+        )
+        out = attn(
+            None, mask, deterministic=True, x_map=x,
+            resident=(lns, lnb, hw, self.shift, True),
+        )
+
+        hidden = int(self.dim * self.mlp_ratio)
+        lns2, lnb2 = _LayerNormParams(self.dim, name="norm2")()
+        w1, b1, w2, b2 = _MlpParams(hidden, self.dim, name="mlp")()
+        if self.dtype is not None:
+            w1, b1 = w1.astype(self.dtype), b1.astype(self.dtype)
+            w2, b2 = w2.astype(self.dtype), b2.astype(self.dtype)
+        rows = out.reshape(b, hp * wp, c)
+        mlp_out = fused_mlp(rows, lns2, lnb2, w1, b1, w2, b2, eps=LN_EPS,
+                            residual=True)
+        x = mlp_out.reshape(b, hp, wp, c)
+        if self.shift > 0:
+            x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
+        return x
+
 
 class PatchMerging(nn.Module):
     """2x2 token merge: LN(4C) then Linear(4C -> 2C) — or -> pos_dim when last."""
@@ -355,6 +440,25 @@ class BasicLayer(nn.Module):
             # swin_model.py:445-448): trade recompute for HBM during training.
             # hw and deterministic are static (self counts as 0).
             block_cls = nn.remat(SwinBlock, static_argnums=(2, 3))
+
+        # resident padded-map mode: pad ONCE here and hand blocks the 4-D
+        # map — each block is then LN1+attn+residual kernel -> MLP kernel
+        # with no per-block pad/unpad/LN/residual XLA ops (and no layout
+        # ping-pong) in between.  Eval-only (plus frozen stages, which run
+        # deterministic during training): measured 212.2 -> 225.8 img/s at
+        # b128 eval, but a 3% REGRESSION for the gradient path — the fused
+        # MLP then runs fwd+bwd over the resident padding (stage 3 pads W
+        # 40->48, +20% rows), which costs more than the saved formatting —
+        # so training blocks keep the unpadded fused pair.  docs/NOTES.md.
+        resident = self.fused_attn and deterministic
+        if resident:
+            b, L, c = x.shape
+            pad_b = (self.window - h % self.window) % self.window
+            pad_r = (self.window - w % self.window) % self.window
+            x = x.reshape(b, h, w, c)
+            if pad_b or pad_r:
+                x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+
         for i in range(self.depth):
             x = block_cls(
                 dim=self.dim,
@@ -368,6 +472,9 @@ class BasicLayer(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, hw, deterministic)
+
+        if resident:
+            x = x[:, :h, :w].reshape(b, h * w, c)
         x_down = PatchMerging(self.dim, self.out_dim, dtype=self.dtype, name="downsample")(x, hw)
         return x, x_down, ((h + 1) // 2, (w + 1) // 2)
 
@@ -433,7 +540,8 @@ class SwinTransformer(nn.Module):
         )
 
         total = sum(self.depths)
-        dpr = list(np.linspace(0, self.drop_path_rate, total))
+        # python floats (weak-typed): numpy scalars would promote bf16 -> f32
+        dpr = [float(v) for v in np.linspace(0, self.drop_path_rate, total)]
         outs = []
         hw = (wh, ww)
         for stage in range(len(self.depths)):
@@ -522,8 +630,9 @@ def build_swin(name: str = "swin_base_win7_384_22k", dtype=None, **overrides):
     builders (models/detector.py).  The v2 block-diagonal head-packing
     design beats plain XLA on v5e (docs/NOTES.md perf ladder: the round-1
     per-window v1 kernel lost; v2 and the round-2 whole-block/fused-MLP
-    kernels drove 147->173.5 img/s eval).  On CPU it stays off — interpret
-    mode is test-only.
+    kernels drove 147->173.5 img/s eval; the round-3 resident padded-map
+    pipeline — fused_block_step, eval/frozen stages only — took it to
+    225.8).  On CPU it stays off — interpret mode is test-only.
     """
     spec = dict(BACKBONES[name])
     spec.update(overrides)

@@ -604,6 +604,364 @@ def fused_block_attention(
 
 
 # ---------------------------------------------------------------------------
+# Fused block STEP for the resident-padded-map pipeline:
+#   LN1 + pad-token zeroing + qkv projection + window attention + output
+#   projection + residual, in ONE kernel over the un-partitioned padded
+#   [B, Hp, Wp, C] map.
+#
+# Rationale (round-3 trace, docs/NOTES.md): at b128 the eval step carried
+# ~150 ms of per-block XLA formatting AROUND the round-2 whole-block kernel —
+# LN1's f32 convert + two reduction passes + affine, jnp.pad/unpad every
+# block, the residual add, and {3,0,2,1}<->row-major layout copies on every
+# kernel boundary.  This kernel absorbs LN1 and the residual, and the caller
+# keeps the map PADDED across the whole stage (pad once at stage entry,
+# slice once at exit), so a non-shifted block is kernel->kernel with zero
+# XLA ops in between.
+#
+# Padding parity: the reference (torch Swin, swin_model.py:108-187) pads
+# AFTER norm1 with zeros, so padded KEY/VALUE tokens enter the projections
+# as exact zeros (k_pad = b_k, v_pad = b_v).  With a resident padded map the
+# pad rows hold stale residual garbage, so the kernel re-derives the pad
+# mask from static geometry each block — (y + shift) mod Hp >= H_real in
+# PRE-ROLL coordinates, handling the cyclic shift — zeroes those rows before
+# the LN statistics AND after the affine, reproducing k_pad = b_k exactly.
+# Pad-row OUTPUTS are don't-cares (stage exit slices them off; they are
+# re-zeroed as keys every block), which is the one intentional divergence
+# from the reference's (also discarded) pad-row outputs.
+# ---------------------------------------------------------------------------
+
+
+def _step_kernel(
+    x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wp_ref, bp_ref, bias_ref, out_ref, *rest,
+    scale, g, d, bblk, n_groups, win, save_attn, eps,
+    real_h, real_w, hp, wp, nwx, shift, residual,
+):
+    """One (batch-block, window, head-group) program of the fused block step.
+
+    Refs as in ``_block_kernel`` plus lns/lnb: [1, C] f32 LayerNorm affine.
+    Scratch: acc [bblk, N, C] f32 projection accumulator and xn [bblk, N, C]
+    (compute dtype) holding the masked-LN output — computed once at head
+    group 0 and reused by the other groups (grid iterates groups fastest).
+    """
+    if save_attn:
+        o2_ref, acc_ref, xn_ref = rest
+    else:
+        acc_ref, xn_ref = rest
+    n = win * win
+    c = x_ref.shape[5]
+    gd = g * d
+    hg = pl.program_id(2)
+    w_id = pl.program_id(1)
+    wy = w_id // nwx
+    wx = w_id % nwx
+    bias = bias_ref[0].reshape(g * n, n)
+
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 0) // n
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
+    qmask = row_blk == col_blk
+
+    # pad-token mask in PRE-ROLL coordinates: token r of this window sits at
+    # rolled (y, x) = (wy*win + r//win, wx*win + r%win); it came from original
+    # ((y + shift) mod Hp, (x + shift) mod Wp), which is padding iff >= real
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    y0 = wy * win + r // win
+    x0 = wx * win + r % win
+    if shift:
+        y0 = jax.lax.rem(y0 + shift, hp)
+        x0 = jax.lax.rem(x0 + shift, wp)
+    tok_pad = jnp.logical_or(y0 >= real_h, x0 >= real_w)  # [N, 1]
+
+    for i in range(bblk):
+        xt_raw = x_ref[i, 0, :, 0].reshape(n, c)
+
+        @pl.when(hg == 0)
+        def _ln():
+            xf = jnp.where(tok_pad, 0.0, xt_raw.astype(jnp.float32))
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+            xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+            xn = xn * lns_ref[0][None, :] + lnb_ref[0][None, :]
+            # zero pad rows post-affine: padded keys/values must project to
+            # bias-only, exactly as the reference's pad-after-LN zeros do
+            xn_ref[i] = jnp.where(tok_pad, 0.0, xn).astype(xn_ref.dtype)
+
+        xn = xn_ref[i]
+
+        def proj(w_ref_, b_ref_):
+            return jax.lax.dot_general(
+                xn, w_ref_[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_ref_[0][None, :]
+
+        q = (proj(wq_ref, bq_ref) * scale).astype(xn.dtype)
+        k = proj(wk_ref, bk_ref).astype(xn.dtype)
+        v = proj(wv_ref, bv_ref).astype(xn.dtype)
+
+        q_bd = jnp.where(
+            qmask,
+            jnp.broadcast_to(q[None], (g, n, gd)).reshape(g * n, gd),
+            jnp.zeros((), q.dtype),
+        )
+        s = jax.lax.dot_general(
+            q_bd, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_m = jnp.concatenate(
+            [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)], axis=-1
+        ).astype(xn.dtype)
+        if save_attn:
+            o2_ref[i, 0] = o_m
+        part = jax.lax.dot_general(
+            o_m, wp_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(hg == 0)
+        def _init():
+            acc_ref[i] = part
+
+        @pl.when(hg > 0)
+        def _acc():
+            acc_ref[i] = acc_ref[i] + part
+
+        @pl.when(hg == n_groups - 1)
+        def _emit():
+            y = acc_ref[i] + bp_ref[0][None, :]
+            if residual:
+                y = y + jnp.where(tok_pad, 0.0, xt_raw.astype(jnp.float32))
+            out_ref[i, 0, :, 0] = y.astype(out_ref.dtype).reshape(win, win, c)
+
+
+def _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                  scale, num_heads, window, real_hw, shift, residual,
+                  eps, save_attn=False):
+    b, hp, wp_, c = x.shape
+    h = num_heads
+    d = c // h
+    n = window * window
+    nwy, nwx = hp // window, wp_ // window
+    nw = nwy * nwx
+    m = bias.shape[0]
+
+    g = max(1, min(h, 128 // max(d, 1)))
+    while h % g:
+        g -= 1
+    gd = g * d
+    n_groups = h // g
+
+    wq, wk, wv = wqkv[:, :c], wqkv[:, c:2 * c], wqkv[:, 2 * c:]
+    bq, bk, bv = bqkv[None, :c], bqkv[None, c:2 * c], bqkv[None, 2 * c:]
+
+    bblk = _pick_block_bblk(b, n, c, x.dtype.itemsize)
+    kernel = functools.partial(
+        _step_kernel, scale=scale, g=g, d=d, bblk=bblk,
+        n_groups=n_groups, win=window, save_attn=save_attn, eps=eps,
+        real_h=real_hw[0], real_w=real_hw[1], hp=hp, wp=wp_, nwx=nwx,
+        shift=shift, residual=residual,
+    )
+
+    x6 = x.reshape(b, nwy, window, nwx, window, c)
+    x_spec = pl.BlockSpec(
+        (bblk, 1, window, 1, window, c),
+        lambda bb, w, hg, _nwx=nwx: (bb, w // _nwx, 0, w % _nwx, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ln_spec = pl.BlockSpec((1, c), lambda bb, w, hg: (0, 0), memory_space=pltpu.VMEM)
+    wcol_spec = pl.BlockSpec(
+        (c, gd), lambda bb, w, hg: (0, hg), memory_space=pltpu.VMEM)
+    bcol_spec = pl.BlockSpec(
+        (1, gd), lambda bb, w, hg: (0, hg), memory_space=pltpu.VMEM)
+    wrow_spec = pl.BlockSpec(
+        (gd, c), lambda bb, w, hg: (hg, 0), memory_space=pltpu.VMEM)
+    bp_spec = pl.BlockSpec(
+        (1, c), lambda bb, w, hg: (0, 0), memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(
+        (1, g, n, n), lambda bb, w, hg, _m=m: (w % _m, hg, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    out_specs = x_spec
+    out_shape = jax.ShapeDtypeStruct(x6.shape, x.dtype)
+    if save_attn:
+        o2_spec = pl.BlockSpec(
+            (bblk, 1, n, gd), lambda bb, w, hg: (bb, w, 0, hg),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = [x_spec, o2_spec]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, nw, n, c), x.dtype)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b // bblk, nw, n_groups),
+        in_specs=[x_spec, ln_spec, ln_spec,
+                  wcol_spec, wcol_spec, wcol_spec,
+                  bcol_spec, bcol_spec, bcol_spec,
+                  wrow_spec, bp_spec, bias_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bblk, n, c), jnp.float32),
+            pltpu.VMEM((bblk, n, c), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nw * n * (4 * c * c + 2 * g * (h // g) * n * d * 2),
+            bytes_accessed=(2 * x.size + m * h * n * n * 4),
+            transcendentals=b * nw * h * n * n,
+        ),
+    )(x6, lns.astype(jnp.float32)[None], lnb.astype(jnp.float32)[None],
+      wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias.astype(jnp.float32))
+    if save_attn:
+        out6, o_merged = outs
+        return out6.reshape(b, hp, wp_, c), o_merged
+    return outs.reshape(b, hp, wp_, c)
+
+
+def _pad_mask(hp, wp_, real_hw, shift):
+    """[1, Hp, Wp, 1] bool — True on tokens that are padding in pre-roll
+    coordinates (numpy constant, baked at trace time)."""
+    import numpy as np
+
+    y = (np.arange(hp) + shift) % hp
+    x = (np.arange(wp_) + shift) % wp_
+    m = (y[:, None] >= real_hw[0]) | (x[None, :] >= real_hw[1])
+    return jnp.asarray(m[None, :, :, None])
+
+
+def _step_prefix_ref(x, lns, lnb, pad4, eps):
+    """Masked LN1 with the kernel's dtype semantics (f32 stats, fast
+    variance) — the recompute target for the backward pass."""
+    xf = jnp.where(pad4, 0.0, x.astype(jnp.float32))
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = xn * lns.astype(jnp.float32) + lnb.astype(jnp.float32)
+    return jnp.where(pad4, 0.0, xn).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def _block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                scale, num_heads, window, real_hw, shift, residual, eps):
+    return _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                         scale, num_heads, window, real_hw, shift, residual, eps)
+
+
+def _block_step_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                    scale, num_heads, window, real_hw, shift, residual, eps):
+    out, o_merged = _step_forward(
+        x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+        scale, num_heads, window, real_hw, shift, residual, eps, save_attn=True,
+    )
+    return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, o_merged)
+
+
+def _block_step_bwd(scale, num_heads, window, real_hw, shift, residual, eps,
+                    res, dout):
+    """Flash-style backward: recompute the masked LN (XLA, with its vjp), the
+    qkv projections (big MXU matmuls), and run the fused attention backward
+    kernel; the saved pre-projection attention output supplies the output
+    projection's weight grad without an attention recompute."""
+    from grit_tpu.ops.window import window_partition, window_reverse
+
+    x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, attn_out = res
+    b, hp, wp_, c = x.shape
+    nw = (hp // window) * (wp_ // window)
+    n = window * window
+
+    pad4 = _pad_mask(hp, wp_, real_hw, shift)
+    xn, prefix_vjp = jax.vjp(
+        lambda x_, s_, b_: _step_prefix_ref(x_, s_, b_, pad4, eps), x, lns, lnb)
+
+    xw = window_partition(xn, window).reshape(b, nw, n, c)
+    qkv = (
+        jax.lax.dot_general(
+            xw, wqkv, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv
+    ).astype(x.dtype)
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+
+    dout_w = window_partition(dout, window).reshape(b, nw, n, c)
+
+    ao2 = attn_out.reshape(-1, c)
+    do2 = dout_w.reshape(-1, c)
+    dwproj = jax.lax.dot_general(
+        ao2, do2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(wproj.dtype)
+    dbproj = do2.astype(jnp.float32).sum(0).astype(bproj.dtype)
+    d_ao = jax.lax.dot_general(
+        do2, wproj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(b, nw, n, c)
+
+    dq, dk, dv, dbias = _backward(q, k, v, bias, scale, num_heads, d_ao)
+
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1).reshape(-1, 3 * c)
+    xw2 = xw.reshape(-1, c)
+    dwqkv = jax.lax.dot_general(
+        xw2, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(wqkv.dtype)
+    dbqkv = dqkv.astype(jnp.float32).sum(0).astype(bqkv.dtype)
+    dxn_w = jax.lax.dot_general(
+        dqkv, wqkv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(x.dtype).reshape(b * nw, n, c)
+    dxn = window_reverse(dxn_w, window, hp, wp_)
+    dx, dlns, dlnb = prefix_vjp(dxn)
+    if residual:
+        dx = dx + jnp.where(pad4, jnp.zeros((), dout.dtype), dout)
+    return dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias
+
+
+_block_step.defvjp(_block_step_fwd, _block_step_bwd)
+
+
+def fused_block_step(
+    x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, *,
+    scale, num_heads, window, real_hw, shift=0, residual=True, eps=1e-5,
+):
+    """One Swin attention half-block on a RESIDENT padded map.
+
+    x: [B, Hp, Wp, C] raw (pre-LN1) feature map, padded to window multiples
+    and already cyclically rolled when ``shift`` > 0 (``shift`` is only used
+    to locate the pad tokens in pre-roll coordinates).  Computes
+    ``x_masked + proj(win_attn(qkv(LN1(x_masked))))`` (or just the branch
+    with ``residual=False`` for external drop-path), entirely in one Pallas
+    kernel.  Pad rows of the output are unspecified (finite) — callers slice
+    the real region at stage exit.  Differentiable (flash-style recompute
+    backward).  Reference semantics: swin_model.py:108-187.
+    """
+    return _block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                       scale, num_heads, window, real_hw, shift, residual, eps)
+
+
+def block_step_ref(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, *,
+                   scale, num_heads, window, real_hw, shift=0, residual=True,
+                   eps=1e-5):
+    """jnp mirror of ``fused_block_step`` (test oracle)."""
+    from grit_tpu.ops.window import window_partition, window_reverse
+
+    b, hp, wp_, c = x.shape
+    nw = (hp // window) * (wp_ // window)
+    n = window * window
+    pad4 = _pad_mask(hp, wp_, real_hw, shift)
+    xn = _step_prefix_ref(x, lns, lnb, pad4, eps)
+    xw = window_partition(xn, window).reshape(b, nw, n, c)
+    qkv = xw @ wqkv + bqkv
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    ao = _unfused(q, k, v, bias, scale, num_heads)
+    out = ao @ wproj + bproj
+    out = window_reverse(out.reshape(b * nw, n, c), window, hp, wp_)
+    if residual:
+        out = out + jnp.where(pad4, 0.0, x.astype(out.dtype))
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Fused MLP (LN2 + fc1 + exact-GELU + fc2 + residual) for the deterministic
 # path.  Saves the [rows, 4C] GELU intermediate's HBM round trip and the
 # separate LayerNorm pass.  GELU uses an Abramowitz-Stegun 7.1.26 erf

@@ -54,6 +54,11 @@ def allgather_pyobj(obj):
         return [obj]
     from jax.experimental import multihost_utils
 
+    # callers arrive here after rank-DIVERGENT work (rank-specialized eval,
+    # per-rank detection shards) — realign before process_allgather's first
+    # execution has to initialize its Gloo context (~30 s rendezvous cap)
+    barrier("allgather_pyobj")
+
     payload = np.frombuffer(pickle.dumps(obj), np.uint8)
     sizes = np.asarray(
         multihost_utils.process_allgather(np.asarray([payload.size]))
@@ -77,7 +82,65 @@ def sync_hosts(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
+_barrier_seq: dict = {}
+
+
+def barrier(name: str, timeout_ms: int = 900_000) -> None:
+    """Align all processes WITHOUT a device collective.
+
+    Uses the jax.distributed coordination service (gRPC key-value store), so
+    it works even when the ranks are minutes apart — unlike
+    ``sync_global_devices``, whose underlying psum must initialize a CPU
+    collectives (Gloo) context whose key-value rendezvous has a hardcoded
+    ~30 s deadline.  XLA creates one such context per compiled executable's
+    first execution, so training loops call this before every program's
+    first run: it bounds the rank skew at context init to one same-program
+    compile-time delta instead of the accumulated divergence (e.g. after
+    rank-SPECIALIZED eval, where ranks compile and run different programs).
+
+    ``name`` is made unique per call site invocation via an internal counter
+    (coordination-service barrier ids are single-use).
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # initialized by other means; device barrier fallback
+        sync_hosts(name)
+        return
+    seq = _barrier_seq.get(name, 0)
+    _barrier_seq[name] = seq + 1
+    client.wait_at_barrier(f"{name}/{seq}", timeout_ms)
+
+
 def is_main_process() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def align_compile(jitted, *args, tag: str, **kwargs) -> None:
+    """AOT-compile ``jitted`` for these args, then realign all ranks.
+
+    Multi-process only (no-op otherwise).  The FIRST execution of every XLA
+    executable containing CPU collectives performs a Gloo context rendezvous
+    with a hardcoded ~30 s deadline; two ranks compiling a multi-minute
+    program on a loaded host can easily skew past that, which kills the
+    training run (observed: GetKeyValue() DEADLINE_EXCEEDED mid-epoch).
+    Compiling FIRST — which also populates the persistent compile cache, so
+    the subsequent real call recompiles from cache in seconds — and then
+    waiting at a coordination-service barrier bounds the rank skew at
+    context init to a cache-deserialize delta.
+
+    Call once per distinct (program, shape) right before its first real
+    invocation; training loops do this for the step/eval programs.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    jitted.lower(*args, **kwargs).compile()
+    barrier("compiled_" + tag)

@@ -174,6 +174,106 @@ def test_block_attention_grads_match_composition(shape):
             err_msg=f"grad mismatch for {name}")
 
 
+@pytest.mark.parametrize("case", [
+    # (B, Hp, Wp, C, h, win, real_h, real_w, shift, residual)
+    (2, 8, 12, 16, 4, 4, 8, 12, 0, True),      # no padding, no shift
+    (2, 8, 12, 16, 4, 4, 6, 9, 0, True),       # padded map, plain windows
+    (2, 8, 12, 16, 4, 4, 6, 9, 2, True),       # padded + rolled (shifted)
+    (1, 16, 8, 64, 2, 8, 13, 8, 4, False),     # branch-only (drop-path mode)
+])
+def test_block_step_matches_reference(case):
+    """fused_block_step (LN1 + pad masking + attention + residual in one
+    kernel) vs the jnp oracle — REAL rows only (pad rows are don't-cares)."""
+    b, hp, wp_, c, h, win, rh, rw, shift, residual = case
+    n = win * win
+    nw = (hp // win) * (wp_ // win)
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    x = jax.random.normal(ks[0], (b, hp, wp_, c))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    lnb = 0.1 * jax.random.normal(ks[2], (c,))
+    wqkv = jax.random.normal(ks[3], (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(ks[4], (3 * c,)) * 0.1
+    wproj = jax.random.normal(ks[5], (c, c)) * 0.1
+    bproj = jax.random.normal(ks[6], (c,)) * 0.1
+    bias = jax.random.normal(ks[7], (nw, h, n, n))
+    kw = dict(scale=(c // h) ** -0.5, num_heads=h, window=win,
+              real_hw=(rh, rw), shift=shift, residual=residual)
+
+    ref = wa.block_step_ref(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, **kw)
+    with _interp_patch():
+        out = wa.fused_block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, **kw)
+    # compare the real region in pre-roll coordinates: token (y, x) is real
+    # iff ((y+shift) mod Hp, (x+shift) mod Wp) < (rh, rw)
+    yy = (np.arange(hp) + shift) % hp
+    xx = (np.arange(wp_) + shift) % wp_
+    real = (yy[:, None] < rh) & (xx[None, :] < rw)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, real], np.asarray(ref)[:, real],
+        rtol=2e-5, atol=2e-5)
+
+
+def test_block_step_grads_match_reference():
+    """custom_vjp backward of fused_block_step vs autodiff of the oracle,
+    with padding + shift active; cotangent restricted to real rows."""
+    b, hp, wp_, c, h, win, rh, rw, shift = 2, 8, 12, 16, 4, 4, 6, 9, 2
+    n = win * win
+    nw = (hp // win) * (wp_ // win)
+    ks = jax.random.split(jax.random.PRNGKey(5), 8)
+    x = jax.random.normal(ks[0], (b, hp, wp_, c))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    lnb = 0.1 * jax.random.normal(ks[2], (c,))
+    wqkv = jax.random.normal(ks[3], (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(ks[4], (3 * c,)) * 0.1
+    wproj = jax.random.normal(ks[5], (c, c)) * 0.1
+    bproj = jax.random.normal(ks[6], (c,)) * 0.1
+    bias = jax.random.normal(ks[7], (nw, h, n, n))
+    kw = dict(scale=(c // h) ** -0.5, num_heads=h, window=win,
+              real_hw=(rh, rw), shift=shift, residual=True)
+    yy = (np.arange(hp) + shift) % hp
+    xx = (np.arange(wp_) + shift) % wp_
+    real = jnp.asarray((yy[:, None] < rh) & (xx[None, :] < rw))[None, :, :, None]
+
+    def loss(fn):
+        def f(*a):
+            out = fn(*a, **kw)
+            return jnp.sum(jnp.where(real, out, 0.0) ** 2)
+        return f
+
+    args = (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias)
+    with _interp_patch():
+        g_f = jax.grad(loss(wa.fused_block_step), argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(loss(wa.block_step_ref), argnums=tuple(range(8)))(*args)
+    names = ["x", "lns", "lnb", "wqkv", "bqkv", "wproj", "bproj", "bias"]
+    for name, gf, gr in zip(names, g_f, g_r):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        if name == "x":  # pad-row input grads are don't-cares
+            gf = gf[:, np.asarray(real)[0, :, :, 0]]
+            gr = gr[:, np.asarray(real)[0, :, :, 0]]
+        np.testing.assert_allclose(gf, gr, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+def test_swin_resident_mode_parity_with_padding():
+    """Resident padded-map pipeline (fused, with pad + shifted blocks) vs the
+    plain path — the end-to-end guard for fused_block_step wiring."""
+    from grit_tpu.models.swin import SwinTransformer
+
+    # 40x56 -> hw (10, 14) at patch 4 -> pads to (12, 16) with window 4;
+    # depths (2, 2) cover shifted blocks on a padded map
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 56, 3))
+    mk = dict(embed_dim=8, depths=(2, 2), num_heads=(2, 2), window=4,
+              drop_path_rate=0.0, pos_dim=16)
+    m_off = SwinTransformer(**mk, fused_attn=False)
+    params = m_off.init(jax.random.PRNGKey(1), x)
+    outs_off = m_off.apply(params, x)
+    m_on = SwinTransformer(**mk, fused_attn=True)
+    with _interp_patch():
+        outs_on = m_on.apply(params, x)
+    for a, b_ in zip(outs_on, outs_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("residual", [True, False])
 def test_fused_mlp_grads_match_reference(residual):
     """fused_mlp custom_vjp vs autodiff of LN -> fc1 -> GELU -> fc2 [+ x]."""
