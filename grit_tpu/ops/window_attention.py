@@ -46,6 +46,7 @@ Replaces the reference's in-XLA-graph window attention
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -631,11 +632,35 @@ def fused_block_attention(
 # ---------------------------------------------------------------------------
 
 
+# The resident step kernel's attention core uses the WIDE score layout when
+# the head group packs more than one head (g > 1).  Tall layout (scores
+# [g*N, N], per-head rows stacked) lane-pads the N=144 key axis to 256 — 78%
+# of every VPU softmax pass is padding, and the AV dot's K=144 contraction
+# wastes an MXU pass.  Wide layout instead block-diagonalizes K and V:
+#
+#     S = q [N, gd] @ K_bd^T [gd, g*N]          (full-depth contraction)
+#     E = exp(S + bias_wide - rowmax)           ([N, g*N]: 640 lanes, 11% pad)
+#     O_un = E @ V_bd [g*N, gd]                 (merged [N, gd] directly)
+#     sums = E @ qmask                          (per-head rowsums via MXU)
+#     O = O_un / sums
+#
+# ~1.9x fewer VPU element-ops, no rowsum/divide over the score tensor, and
+# no diagonal extraction.  The rowmax mixes heads (exact for softmax — any
+# per-row constant cancels in E/sums), so E is clamped at exp(-60) to keep
+# sums out of the f32 denormal range even for pathological cross-head score
+# spreads (real Swin scores are O(10); the clamp only matters past a
+# ~60-logit spread, where the reference's per-head softmax saturates too).
+# _WIDE/_BAND are chip-A/B flags (docs/NOTES.md round 3); interpret-mode
+# parity tests cover all four combinations' code paths.
+_WIDE_MIN = -60.0
+_WIDE = os.environ.get("GRIT_WA_WIDE", "0") == "1"  # pending chip A/B
+
+
 def _step_kernel(
     x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     wp_ref, bp_ref, bias_ref, out_ref, *rest,
     scale, g, d, bblk, n_groups, win, save_attn, eps,
-    real_h, real_w, hp, wp, nwx, shift, residual,
+    real_h, real_w, hp, wp, nwx, shift, residual, wide,
 ):
     """One (batch-block, window, head-group) program of the fused block step.
 
@@ -643,6 +668,8 @@ def _step_kernel(
     Scratch: acc [bblk, N, C] f32 projection accumulator and xn [bblk, N, C]
     (compute dtype) holding the masked-LN output — computed once at head
     group 0 and reused by the other groups (grid iterates groups fastest).
+    ``wide`` selects the wide-layout attention core (comment above); bias_ref
+    is then the pre-rearranged [1, N, g*N] instead of [1, g, N, N].
     """
     if save_attn:
         o2_ref, acc_ref, xn_ref = rest
@@ -655,7 +682,10 @@ def _step_kernel(
     w_id = pl.program_id(1)
     wy = w_id // nwx
     wx = w_id % nwx
-    bias = bias_ref[0].reshape(g * n, n)
+    if wide:
+        bias = bias_ref[0, 0]  # [N, g*N]
+    else:
+        bias = bias_ref[0].reshape(g * n, n)
 
     row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 0) // n
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
@@ -698,25 +728,46 @@ def _step_kernel(
         k = proj(wk_ref, bk_ref).astype(xn.dtype)
         v = proj(wv_ref, bv_ref).astype(xn.dtype)
 
-        q_bd = jnp.where(
-            qmask,
-            jnp.broadcast_to(q[None], (g, n, gd)).reshape(g * n, gd),
-            jnp.zeros((), q.dtype),
-        )
-        s = jax.lax.dot_general(
-            q_bd, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bias
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_m = jnp.concatenate(
-            [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)], axis=-1
-        ).astype(xn.dtype)
+        def bd(x_):  # [N, gd] -> block-diagonal [g*N, gd]
+            return jnp.where(
+                qmask,
+                jnp.broadcast_to(x_[None], (g, n, gd)).reshape(g * n, gd),
+                jnp.zeros((), x_.dtype),
+            )
+
+        if wide:
+            s = jax.lax.dot_general(
+                q, bd(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias  # [N, g*N], column block j = head j's scores
+            e = jnp.exp(
+                jnp.maximum(s - jnp.max(s, axis=-1, keepdims=True), _WIDE_MIN)
+            ).astype(v.dtype)
+            o_un = jax.lax.dot_general(
+                e, bd(v), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, gd] merged-head, unnormalized
+            sums = jax.lax.dot_general(
+                e, qmask.astype(v.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, gd]: column c = head (c//d)'s rowsum
+            o_m = (o_un / sums).astype(xn.dtype)
+        else:
+            s = jax.lax.dot_general(
+                bd(q), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_m = jnp.concatenate(
+                [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)],
+                axis=-1,
+            ).astype(xn.dtype)
         if save_attn:
             o2_ref[i, 0] = o_m
         part = jax.lax.dot_general(
@@ -760,12 +811,13 @@ def _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
     wq, wk, wv = wqkv[:, :c], wqkv[:, c:2 * c], wqkv[:, 2 * c:]
     bq, bk, bv = bqkv[None, :c], bqkv[None, c:2 * c], bqkv[None, 2 * c:]
 
+    wide = _WIDE and g > 1  # wide degenerates to tall when g == 1
     bblk = _pick_block_bblk(b, n, c, x.dtype.itemsize)
     kernel = functools.partial(
         _step_kernel, scale=scale, g=g, d=d, bblk=bblk,
         n_groups=n_groups, win=window, save_attn=save_attn, eps=eps,
         real_h=real_hw[0], real_w=real_hw[1], hp=hp, wp=wp_, nwx=nwx,
-        shift=shift, residual=residual,
+        shift=shift, residual=residual, wide=wide,
     )
 
     x6 = x.reshape(b, nwy, window, nwx, window, c)
@@ -783,10 +835,21 @@ def _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         (gd, c), lambda bb, w, hg: (hg, 0), memory_space=pltpu.VMEM)
     bp_spec = pl.BlockSpec(
         (1, c), lambda bb, w, hg: (0, 0), memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec(
-        (1, g, n, n), lambda bb, w, hg, _m=m: (w % _m, hg, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    bias_f = bias.astype(jnp.float32)
+    if wide:
+        # [M, h, N, N] -> [M, n_groups, N, g*N]: per group, head j's scores
+        # live in lane block j (column-blocked wide layout)
+        bias_f = bias_f.reshape(m, n_groups, g, n, n).transpose(
+            0, 1, 3, 2, 4).reshape(m, n_groups, n, g * n)
+        bias_spec = pl.BlockSpec(
+            (1, 1, n, g * n), lambda bb, w, hg, _m=m: (w % _m, hg, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        bias_spec = pl.BlockSpec(
+            (1, g, n, n), lambda bb, w, hg, _m=m: (w % _m, hg, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     out_specs = x_spec
     out_shape = jax.ShapeDtypeStruct(x6.shape, x.dtype)
@@ -816,11 +879,254 @@ def _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
             transcendentals=b * nw * h * n * n,
         ),
     )(x6, lns.astype(jnp.float32)[None], lnb.astype(jnp.float32)[None],
-      wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias.astype(jnp.float32))
+      wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias_f)
     if save_attn:
         out6, o_merged = outs
         return out6.reshape(b, hp, wp_, c), o_merged
     return outs.reshape(b, hp, wp_, c)
+
+
+# Band mode: one program per (image, window ROW, head group), block
+# [1, win, Wp, C] of the natural 4-D map.  The 6-D windowed operand's
+# T(8,128) tiling physically pads the win=12 sublane dim to 16, which makes
+# every kernel entry/exit a full-map copy (trace: 1.9-3.9 ms per block at
+# b128 stage 1); the band block's minor dims (Wp, C) are tile-aligned, so
+# the operand shares the neighbors' layout and the copies vanish.  Windows
+# are sliced from the band in VMEM (sublane shifts, no HBM).  Grid order
+# puts the window row OUTERMOST so the per-row bias block (all nwx window
+# kinds) is DMA'd nwy times per call, not per program.
+_BAND = os.environ.get("GRIT_WA_BAND", "0") == "1"  # pending chip A/B
+
+
+def _band_kernel(
+    x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wp_ref, bp_ref, bias_ref, out_ref, *rest,
+    scale, g, d, n_groups, win, nwx, m, save_attn, eps,
+    real_h, real_w, hp, wp, shift, residual, wide,
+):
+    """One (window-row, image, head-group) program of the fused block step.
+
+    x/out refs: [1, win, Wp, C]; bias_ref: [1, nwx|1, 1, N, g*N] (wide) or
+    [1, nwx|1, g, N, N] (tall); scratch acc/xn: [win, Wp, C].
+    """
+    if save_attn:
+        o2_ref, acc_ref, xn_ref = rest
+    else:
+        acc_ref, xn_ref = rest
+    n = win * win
+    c = x_ref.shape[3]
+    gd = g * d
+    wy = pl.program_id(0)
+    hg = pl.program_id(2)
+
+    row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 0) // n
+    col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
+    qmask = row_blk == col_blk
+
+    # band pad mask in PRE-ROLL coordinates (see _step_kernel)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+    y0 = wy * win + iy
+    x0 = ix
+    if shift:
+        y0 = jax.lax.rem(y0 + shift, hp)
+        x0 = jax.lax.rem(x0 + shift, wp)
+    band_pad = jnp.logical_or(y0 >= real_h, x0 >= real_w)[:, :, None]
+
+    @pl.when(hg == 0)
+    def _ln():
+        xf = jnp.where(band_pad, 0.0, x_ref[0].astype(jnp.float32))
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+        xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+        xn = xn * lns_ref[0][None, None, :] + lnb_ref[0][None, None, :]
+        xn_ref[...] = jnp.where(band_pad, 0.0, xn).astype(xn_ref.dtype)
+
+    parts = []
+    for wx in range(nwx):
+        xw = xn_ref[:, wx * win:(wx + 1) * win, :].reshape(n, c)
+
+        def proj(w_ref_, b_ref_):
+            return jax.lax.dot_general(
+                xw, w_ref_[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_ref_[0][None, :]
+
+        q = (proj(wq_ref, bq_ref) * scale).astype(xn_ref.dtype)
+        k = proj(wk_ref, bk_ref).astype(xn_ref.dtype)
+        v = proj(wv_ref, bv_ref).astype(xn_ref.dtype)
+
+        def bd(x_):
+            return jnp.where(
+                qmask,
+                jnp.broadcast_to(x_[None], (g, n, gd)).reshape(g * n, gd),
+                jnp.zeros((), x_.dtype),
+            )
+
+        kx = wx if m > 1 else 0
+        if wide:
+            bias = bias_ref[0, kx, 0]  # [N, g*N]
+            s = jax.lax.dot_general(
+                q, bd(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            e = jnp.exp(
+                jnp.maximum(s - jnp.max(s, axis=-1, keepdims=True), _WIDE_MIN)
+            ).astype(v.dtype)
+            o_un = jax.lax.dot_general(
+                e, bd(v), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sums = jax.lax.dot_general(
+                e, qmask.astype(v.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_m = (o_un / sums).astype(xn_ref.dtype)
+        else:
+            bias = bias_ref[0, kx].reshape(g * n, n)
+            s = jax.lax.dot_general(
+                bd(q), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_m = jnp.concatenate(
+                [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)],
+                axis=-1,
+            ).astype(xn_ref.dtype)
+        if save_attn:
+            o2_ref[0, wx] = o_m
+        part = jax.lax.dot_general(
+            o_m, wp_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        parts.append(part.reshape(win, win, c))
+
+    band = jnp.concatenate(parts, axis=1) if nwx > 1 else parts[0]
+
+    @pl.when(hg == 0)
+    def _init():
+        acc_ref[...] = band
+
+    @pl.when(hg > 0)
+    def _acc():
+        acc_ref[...] = acc_ref[...] + band
+
+    @pl.when(hg == n_groups - 1)
+    def _emit():
+        y = acc_ref[...] + bp_ref[0][None, None, :]
+        if residual:
+            y = y + jnp.where(band_pad, 0.0, x_ref[0].astype(jnp.float32))
+        out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                       scale, num_heads, window, real_hw, shift, residual,
+                       eps, save_attn=False):
+    b, hp, wp_, c = x.shape
+    h = num_heads
+    d = c // h
+    n = window * window
+    nwy, nwx = hp // window, wp_ // window
+    nw = nwy * nwx
+    m = bias.shape[0]
+
+    g = max(1, min(h, 128 // max(d, 1)))
+    while h % g:
+        g -= 1
+    gd = g * d
+    n_groups = h // g
+    wide = _WIDE and g > 1
+
+    wq, wk, wv = wqkv[:, :c], wqkv[:, c:2 * c], wqkv[:, 2 * c:]
+    bq, bk, bv = bqkv[None, :c], bqkv[None, c:2 * c], bqkv[None, 2 * c:]
+
+    kernel = functools.partial(
+        _band_kernel, scale=scale, g=g, d=d, n_groups=n_groups, win=window,
+        nwx=nwx, m=m, save_attn=save_attn, eps=eps,
+        real_h=real_hw[0], real_w=real_hw[1], hp=hp, wp=wp_,
+        shift=shift, residual=residual, wide=wide,
+    )
+    # bias block's window-kind count: per-window kinds when the bias is
+    # per-window (m == nw), one shared kind otherwise
+    kb = nwx if m > 1 else 1
+
+    x_spec = pl.BlockSpec(
+        (1, window, wp_, c), lambda wy, bb, hg: (bb, wy, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ln_spec = pl.BlockSpec((1, c), lambda wy, bb, hg: (0, 0), memory_space=pltpu.VMEM)
+    wcol_spec = pl.BlockSpec(
+        (c, gd), lambda wy, bb, hg: (0, hg), memory_space=pltpu.VMEM)
+    bcol_spec = pl.BlockSpec(
+        (1, gd), lambda wy, bb, hg: (0, hg), memory_space=pltpu.VMEM)
+    wrow_spec = pl.BlockSpec(
+        (gd, c), lambda wy, bb, hg: (hg, 0), memory_space=pltpu.VMEM)
+    bp_spec = pl.BlockSpec(
+        (1, c), lambda wy, bb, hg: (0, 0), memory_space=pltpu.VMEM)
+
+    bias_f = bias.astype(jnp.float32)
+    if wide:
+        # [M, h, N, N] -> [nwy|1, nwx|1, n_groups, N, g*N]
+        bias_f = bias_f.reshape(m, n_groups, g, n, n).transpose(
+            0, 1, 3, 2, 4).reshape(m, n_groups, n, g * n)
+        if m > 1:
+            bias_f = bias_f.reshape(nwy, nwx, n_groups, n, g * n)
+        else:
+            bias_f = bias_f.reshape(1, 1, n_groups, n, g * n)
+        bias_spec = pl.BlockSpec(
+            (1, kb, 1, n, g * n),
+            lambda wy, bb, hg, _m=m: (wy if _m > 1 else 0, 0, hg, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        if m > 1:
+            bias_f = bias_f.reshape(nwy, nwx, h, n, n)
+        else:
+            bias_f = bias_f.reshape(1, 1, h, n, n)
+        bias_spec = pl.BlockSpec(
+            (1, kb, g, n, n),
+            lambda wy, bb, hg, _m=m: (wy if _m > 1 else 0, 0, hg, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_specs = x_spec
+    out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    if save_attn:
+        o2_spec = pl.BlockSpec(
+            (1, nwx, n, gd), lambda wy, bb, hg: (bb, wy, 0, hg),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = [x_spec, o2_spec]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, nw, n, c), x.dtype)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nwy, b, n_groups),  # window row outermost: bias DMA'd per row
+        in_specs=[x_spec, ln_spec, ln_spec,
+                  wcol_spec, wcol_spec, wcol_spec,
+                  bcol_spec, bcol_spec, bcol_spec,
+                  wrow_spec, bp_spec, bias_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((window, wp_, c), jnp.float32),
+            pltpu.VMEM((window, wp_, c), x.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nw * n * (4 * c * c + 2 * g * (h // g) * n * d * 2),
+            bytes_accessed=(2 * x.size + m * h * n * n * 4),
+            transcendentals=b * nw * h * n * n,
+        ),
+    )(x, lns.astype(jnp.float32)[None], lnb.astype(jnp.float32)[None],
+      wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias_f)
+    if save_attn:
+        return outs[0], outs[1]
+    return outs
 
 
 def _pad_mask(hp, wp_, real_hw, shift):
@@ -845,16 +1151,20 @@ def _step_prefix_ref(x, lns, lnb, pad4, eps):
     return jnp.where(pad4, 0.0, xn).astype(x.dtype)
 
 
+def _step_fwd_impl(*args, **kw):
+    return (_step_forward_band if _BAND else _step_forward)(*args, **kw)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
                 scale, num_heads, window, real_hw, shift, residual, eps):
-    return _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
-                         scale, num_heads, window, real_hw, shift, residual, eps)
+    return _step_fwd_impl(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                          scale, num_heads, window, real_hw, shift, residual, eps)
 
 
 def _block_step_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
                     scale, num_heads, window, real_hw, shift, residual, eps):
-    out, o_merged = _step_forward(
+    out, o_merged = _step_fwd_impl(
         x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         scale, num_heads, window, real_hw, shift, residual, eps, save_attn=True,
     )

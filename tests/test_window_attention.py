@@ -174,6 +174,10 @@ def test_block_attention_grads_match_composition(shape):
             err_msg=f"grad mismatch for {name}")
 
 
+@pytest.mark.parametrize("flags", [
+    # (_WIDE, _BAND) kernel-variant combinations (chip A/B flags)
+    (False, False), (True, False), (False, True), (True, True),
+])
 @pytest.mark.parametrize("case", [
     # (B, Hp, Wp, C, h, win, real_h, real_w, shift, residual)
     (2, 8, 12, 16, 4, 4, 8, 12, 0, True),      # no padding, no shift
@@ -181,9 +185,11 @@ def test_block_attention_grads_match_composition(shape):
     (2, 8, 12, 16, 4, 4, 6, 9, 2, True),       # padded + rolled (shifted)
     (1, 16, 8, 64, 2, 8, 13, 8, 4, False),     # branch-only (drop-path mode)
 ])
-def test_block_step_matches_reference(case):
+def test_block_step_matches_reference(case, flags, monkeypatch):
     """fused_block_step (LN1 + pad masking + attention + residual in one
     kernel) vs the jnp oracle — REAL rows only (pad rows are don't-cares)."""
+    monkeypatch.setattr(wa, "_WIDE", flags[0])
+    monkeypatch.setattr(wa, "_BAND", flags[1])
     b, hp, wp_, c, h, win, rh, rw, shift, residual = case
     n = win * win
     nw = (hp // win) * (wp_ // win)
@@ -212,9 +218,15 @@ def test_block_step_matches_reference(case):
         rtol=2e-5, atol=2e-5)
 
 
-def test_block_step_grads_match_reference():
+@pytest.mark.parametrize("flags", [
+    # (_WIDE, _BAND): the bwd consumes each fwd variant's save_attn output
+    (False, False), (True, False), (False, True), (True, True),
+])
+def test_block_step_grads_match_reference(flags, monkeypatch):
     """custom_vjp backward of fused_block_step vs autodiff of the oracle,
     with padding + shift active; cotangent restricted to real rows."""
+    monkeypatch.setattr(wa, "_WIDE", flags[0])
+    monkeypatch.setattr(wa, "_BAND", flags[1])
     b, hp, wp_, c, h, win, rh, rw, shift = 2, 8, 12, 16, 4, 4, 6, 9, 2
     n = win * win
     nw = (hp // win) * (wp_ // win)
