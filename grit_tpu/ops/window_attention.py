@@ -345,13 +345,15 @@ fused_window_attention.defvjp(_fwd, _bwd)
 def _block_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     wp_ref, bp_ref, bias_ref, out_ref, *rest,
-    scale, g, d, bblk, n_groups, win, save_attn,
+    scale, g, d, bblk, n_groups, win, save_attn, wide,
 ):
     """One (batch-block, window, head-group) program.
 
     x/out refs: [bblk, win, win, C]; w{q,k,v}: [C, g*d]; wp: [g*d, C];
-    b{q,k,v}: [1, g*d]; bp: [1, C]; bias: [1, g, N, N] fp32;
-    acc (scratch): [bblk, N, C] fp32 partial projection accumulator.
+    b{q,k,v}: [1, g*d]; bp: [1, C]; bias: [1, g, N, N] fp32 (tall) or the
+    pre-rearranged [1, 1, N, g*N] (``wide`` — see the wide-layout comment
+    above ``_step_kernel``); acc (scratch): [bblk, N, C] fp32 partial
+    projection accumulator.
     With ``save_attn`` (the differentiating forward) an extra
     [bblk, 1, N, g*d] output receives the pre-projection per-head-group
     attention output — the backward needs it for the projection weight
@@ -366,7 +368,10 @@ def _block_kernel(
     c = x_ref.shape[5]  # block is [bblk, 1, win, 1, win, C]
     gd = g * d
     hg = pl.program_id(2)
-    bias = bias_ref[0].reshape(g * n, n)
+    if wide:
+        bias = bias_ref[0, 0]  # [N, g*N]
+    else:
+        bias = bias_ref[0].reshape(g * n, n)
 
     row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 0) // n
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
@@ -388,25 +393,46 @@ def _block_kernel(
         k = proj(wk_ref, bk_ref).astype(xt.dtype)
         v = proj(wv_ref, bv_ref).astype(xt.dtype)
 
-        q_bd = jnp.where(
-            qmask,
-            jnp.broadcast_to(q[None], (g, n, gd)).reshape(g * n, gd),
-            jnp.zeros((), q.dtype),
-        )
-        s = jax.lax.dot_general(
-            q_bd, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bias
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [g*N, gd]
-        o_m = jnp.concatenate(
-            [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)], axis=-1
-        ).astype(xt.dtype)  # [N, gd]
+        def bd(x_):  # [N, gd] -> block-diagonal [g*N, gd]
+            return jnp.where(
+                qmask,
+                jnp.broadcast_to(x_[None], (g, n, gd)).reshape(g * n, gd),
+                jnp.zeros((), x_.dtype),
+            )
+
+        if wide:
+            s = jax.lax.dot_general(
+                q, bd(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias  # [N, g*N], column block j = head j's scores
+            e = jnp.exp(
+                jnp.maximum(s - jnp.max(s, axis=-1, keepdims=True), _WIDE_MIN)
+            ).astype(v.dtype)
+            o_un = jax.lax.dot_general(
+                e, bd(v), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, gd] merged-head, unnormalized
+            sums = jax.lax.dot_general(
+                e, qmask.astype(v.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [N, gd]: column c = head (c//d)'s rowsum
+            o_m = (o_un / sums).astype(xt.dtype)
+        else:
+            s = jax.lax.dot_general(
+                bd(q), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [g*N, gd]
+            o_m = jnp.concatenate(
+                [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)],
+                axis=-1,
+            ).astype(xt.dtype)  # [N, gd]
         if save_attn:
             o2_ref[i, 0] = o_m
         part = jax.lax.dot_general(
@@ -458,10 +484,11 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window,
     wq, wk, wv = wqkv[:, :c], wqkv[:, c:2 * c], wqkv[:, 2 * c:]
     bq, bk, bv = bqkv[None, :c], bqkv[None, c:2 * c], bqkv[None, 2 * c:]
 
+    wide = _WIDE and g > 1  # wide degenerates to tall when g == 1
     bblk = _pick_block_bblk(b, n, c, x.dtype.itemsize)
     kernel = functools.partial(
         _block_kernel, scale=scale, g=g, d=d, bblk=bblk,
-        n_groups=n_groups, win=window, save_attn=save_attn,
+        n_groups=n_groups, win=window, save_attn=save_attn, wide=wide,
     )
 
     # window tiles as blocks: split H/W into (n_windows, window) OUTSIDE (a
@@ -481,10 +508,21 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window,
         (gd, c), lambda bb, w, hg: (hg, 0), memory_space=pltpu.VMEM)
     bp_spec = pl.BlockSpec(
         (1, c), lambda bb, w, hg: (0, 0), memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec(
-        (1, g, n, n), lambda bb, w, hg, _m=m: (w % _m, hg, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    bias_f = bias.astype(jnp.float32)
+    if wide:
+        # [M, h, N, N] -> [M, n_groups, N, g*N]: per group, head j's scores
+        # live in lane block j (column-blocked wide layout)
+        bias_f = bias_f.reshape(m, n_groups, g, n, n).transpose(
+            0, 1, 3, 2, 4).reshape(m, n_groups, n, g * n)
+        bias_spec = pl.BlockSpec(
+            (1, 1, n, g * n), lambda bb, w, hg, _m=m: (w % _m, hg, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        bias_spec = pl.BlockSpec(
+            (1, g, n, n), lambda bb, w, hg, _m=m: (w % _m, hg, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     out_specs = x_spec
     out_shape = jax.ShapeDtypeStruct(x6.shape, x.dtype)
@@ -509,7 +547,7 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window,
             bytes_accessed=(2 * x.size + m * h * n * n * 4),
             transcendentals=b * nw * h * n * n,
         ),
-    )(x6, wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias.astype(jnp.float32))
+    )(x6, wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias_f)
     if save_attn:
         out6, o_merged = outs
         return out6.reshape(b, hp, wp_, c), o_merged

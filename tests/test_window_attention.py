@@ -126,15 +126,18 @@ def test_fused_training_grads_with_frozen_stages():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4, err_msg=str(p1))
 
+@pytest.mark.parametrize("wide", [False, True])
 @pytest.mark.parametrize("shape", [
     # (B, Hp, Wp, C, h, window)
     (2, 8, 12, 16, 4, 4),
     (1, 16, 8, 64, 2, 8),   # gd == 128: single-group packing
 ])
-def test_block_attention_grads_match_composition(shape):
+def test_block_attention_grads_match_composition(shape, wide, monkeypatch):
     """Whole-block kernel custom_vjp (recompute backward) vs autodiff of the
     jnp composition qkv -> partition -> attention -> proj -> reverse."""
     from grit_tpu.ops.window import window_partition, window_reverse
+
+    monkeypatch.setattr(wa, "_WIDE", wide)
 
     b, hp, wp_, c, h, win = shape
     n = win * win
