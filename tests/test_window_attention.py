@@ -327,6 +327,51 @@ def test_fused_mlp_grads_match_reference(residual):
             err_msg=f"grad mismatch for {name}")
 
 
+def test_fast_gelu_rational_accuracy():
+    """The bf16-path rational GELU vs exact erf GELU: max abs error must
+    stay ~3 orders below bf16 output resolution, clamp tails included."""
+    x = jnp.linspace(-10.0, 10.0, 200001, dtype=jnp.float32)
+    exact = x * 0.5 * (1.0 + jax.lax.erf(x * 2 ** -0.5))
+    fast = wa._gelu_fast(x)
+    err = float(jnp.max(jnp.abs(fast - exact)))
+    assert err < 5e-5, err
+    # interior of the clamp range is tighter still
+    xi = jnp.linspace(-4.4, 4.4, 200001, dtype=jnp.float32)
+    err_i = float(jnp.max(jnp.abs(
+        wa._gelu_fast(xi) - xi * 0.5 * (1.0 + jax.lax.erf(xi * 2 ** -0.5)))))
+    assert err_i < 5e-6, err_i
+
+
+def test_fused_mlp_bf16_uses_rational_gelu():
+    """bf16 fused MLP (rational GELU) vs the f32 exact oracle: outputs agree
+    to bf16 accumulation tolerance; flag off falls back to A&S."""
+    c, hid, rows = 16, 64, 32
+    ks = jax.random.split(jax.random.PRNGKey(11), 7)
+    x = jax.random.normal(ks[0], (2, rows // 2, c), jnp.bfloat16)
+    lns = jnp.ones((c,), jnp.bfloat16)
+    lnb = jnp.zeros((c,), jnp.bfloat16)
+    w1 = (jax.random.normal(ks[3], (c, hid)) * 0.1).astype(jnp.bfloat16)
+    b1 = (0.1 * jax.random.normal(ks[4], (hid,))).astype(jnp.bfloat16)
+    w2 = (jax.random.normal(ks[5], (hid, c)) * 0.1).astype(jnp.bfloat16)
+    b2 = (0.1 * jax.random.normal(ks[6], (c,))).astype(jnp.bfloat16)
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+    hmid = xn @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    hmid = hmid * 0.5 * (1.0 + jax.lax.erf(hmid * 2 ** -0.5))
+    oracle = xf + (hmid @ w2.astype(jnp.float32) + b2.astype(jnp.float32))
+
+    for flag in (True, False):
+        with _interp_patch(), mock.patch.object(wa, "_FAST_GELU", flag):
+            out = wa.fused_mlp(x, lns, lnb, w1, b1, w2, b2,
+                               eps=1e-5, residual=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(oracle),
+            rtol=0.05, atol=0.05, err_msg=f"_FAST_GELU={flag}")
+
+
 def test_fused_training_grads_with_drop_path():
     """Training with stochastic depth: the fused path applies drop-path
     outside the kernels (residual=False MLP variant); grads must match the
