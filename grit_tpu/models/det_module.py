@@ -96,6 +96,7 @@ class MSDeformAttnModule(nn.Module):
         src: jnp.ndarray,                # [B, S_pad, C] RELAID (relay_value)
         spatial_shapes: Sequence[tuple[int, int]],
         padding_mask: Optional[jnp.ndarray] = None,  # [B, S_pad] True = pad (relaid)
+        real_hw: Optional[jnp.ndarray] = None,       # [B, L, 2] int (h, w) real dims
     ) -> jnp.ndarray:
         b, lq, _ = query.shape
         m, L, p = self.n_heads, self.n_levels, self.n_points
@@ -106,7 +107,12 @@ class MSDeformAttnModule(nn.Module):
         # head split handled inside the v4 kernel)
         value = nn.Dense(self.d_model, name="value_proj", dtype=self.dtype,
                          kernel_init=xavier)(src)
-        if padding_mask is not None:
+        # pad handling: the pallas path zeroes corner WEIGHTS against the
+        # real rectangles (w*0 == 0*v, bit-equal) instead of an [B, S_pad, C]
+        # elementwise pre-mask of the value slab — that pass cost ~15 ms/step
+        # across the 6 layers at b128 eval even for unpadded batches
+        corner_mask = self.impl == "pallas" and real_hw is not None
+        if padding_mask is not None and not corner_mask:
             value = jnp.where(padding_mask[..., None], 0.0, value)
 
         offset_bias = _msda_offset_bias(m, L, p)
@@ -138,7 +144,8 @@ class MSDeformAttnModule(nn.Module):
             )
 
         out = ms_deform_attn_relaid(
-            value, spatial_shapes, loc, attn, m, impl=self.impl
+            value, spatial_shapes, loc, attn, m, impl=self.impl,
+            real_hw=real_hw if corner_mask else None,
         )
         return nn.Dense(self.d_model, name="output_proj", dtype=self.dtype,
                         kernel_init=xavier)(out)
@@ -189,7 +196,7 @@ class DeformableDecoderLayer(nn.Module):
     def __call__(
         self,
         tgt, query_pos, reference_points, src, spatial_shapes,
-        valid_ratios, padding_mask=None, *, deterministic=True,
+        valid_ratios, padding_mask=None, real_hw=None, *, deterministic=True,
     ):
         # scale reference points by per-level valid ratios (det_module.py:323-328)
         if reference_points.shape[-1] == 4:
@@ -208,7 +215,7 @@ class DeformableDecoderLayer(nn.Module):
         ca = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             impl=self.msda_impl, dtype=self.dtype, name="cross_attn",
-        )(tgt + query_pos, ref, src, spatial_shapes, padding_mask)
+        )(tgt + query_pos, ref, src, spatial_shapes, padding_mask, real_hw)
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(tgt)
 
@@ -304,6 +311,13 @@ class DetectionModule(nn.Module):
         src_flat = jnp.concatenate([s.reshape(b, -1, s.shape[-1]) for s in srcs], axis=1)
         mask_flat = jnp.concatenate([m.reshape(b, -1) for m in masks], axis=1)
         valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)  # [B, L, 2]
+        # per-image real level dims (rectangle padding, same assumption as
+        # get_valid_ratio) — lets the pallas MSDA mask corner weights instead
+        # of pre-masking the value slab
+        real_hw = jnp.stack([
+            jnp.stack([jnp.sum((~m[:, :, 0]).astype(jnp.int32), axis=1),
+                       jnp.sum((~m[:, 0, :]).astype(jnp.int32), axis=1)], -1)
+            for m in masks], axis=1)  # [B, L, 2] (h, w)
         # re-lay the memory ONCE for all decoder layers' MSDA calls (identity
         # when every level size is a multiple of 8, e.g. the 384x640 pyramid)
         src_flat = relay_value(src_flat, spatial_shapes)
@@ -328,7 +342,7 @@ class DetectionModule(nn.Module):
         for lid, layer in enumerate(self.decoder_layers):
             tgt = layer(
                 tgt, query_pos, reference_points, src_flat, spatial_shapes,
-                valid_ratios, mask_flat, deterministic=deterministic,
+                valid_ratios, mask_flat, real_hw, deterministic=deterministic,
             )
             reference_points = self.bbox_refine(self.bbox_embed[lid + 1], tgt, reference_points)
             intermediate.append(tgt)

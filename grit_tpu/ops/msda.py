@@ -256,6 +256,7 @@ def ms_deform_attn_relaid(
     attention_weights: jnp.ndarray,
     num_heads: int,
     impl: str = "xla",
+    real_hw: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """MSDA on a RELAID [N, S_pad, C] value slab -> [N, Lq, C].
 
@@ -266,13 +267,19 @@ def ms_deform_attn_relaid(
     out of the 6 per-layer calls.  ``impl='pallas'`` runs the v4 kernel
     directly on the slab; other impls un-relay and use the [N, S, M, D]
     formulations (the CPU/oracle paths).
+
+    ``real_hw`` ([N, L, 2] int): with impl='pallas', padding is handled by
+    zeroing corner weights against the per-level real rectangles — the
+    caller then passes the UNMASKED value slab.  Other impls ignore it
+    (their callers pre-mask the value as before).
     """
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     if impl == "pallas":
         from grit_tpu.ops.msda_pallas import ms_deform_attn_pallas_relaid
 
         return ms_deform_attn_pallas_relaid(
-            value, spatial_shapes, sampling_locations, attention_weights
+            value, spatial_shapes, sampling_locations, attention_weights,
+            real_hw=real_hw,
         )
     from grit_tpu.ops.msda_pallas import unrelay_value
 

@@ -223,6 +223,47 @@ class TestMSDA:
             )
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
+    def test_pallas_v4_corner_weight_padding_mask(self, msda_inputs):
+        """real_hw corner-weight masking == pre-masking the value slab (the
+        reference's padded-position zeroing), exercised with a nontrivial
+        per-image pad rectangle at every level."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        # real dims: image 0 loses 2 rows/1 col at level 0, etc.; image 1 unpadded
+        real = np.array(
+            [[[h - min(2, h - 1), wd - 1] for h, wd in shapes],
+             [[h, wd] for h, wd in shapes]], np.int32
+        )  # [N, L, 2]
+        # oracle: zero padded positions of value, then reference MSDA
+        vm = np.asarray(value).copy()
+        off = 0
+        for lvl, (h, wd) in enumerate(shapes):
+            grid = vm[:, off:off + h * wd].reshape(n, h, wd, m, d)
+            for i in range(n):
+                rh, rw = real[i, lvl]
+                grid[i, rh:, :, :, :] = 0.0
+                grid[i, :, rw:, :, :] = 0.0
+            off += h * wd
+        ref = np.asarray(ms_deform_attn_reference(jnp.asarray(vm), shapes, loc, w))
+
+        relaid = mp.relay_value(value.reshape(n, s, m * d), shapes)  # UNMASKED
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            out = np.asarray(mp.ms_deform_attn_pallas_relaid(
+                relaid, shapes, loc, w, real_hw=jnp.asarray(real)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
     def test_pallas_v4_aligned_no_relay(self, msda_inputs):
         """When every level size is a multiple of 8 the relay is an identity
         (the production 384x640 pyramid case) and parity still holds."""
