@@ -107,13 +107,16 @@ class Attention(nn.Module):
             kh = jnp.concatenate([kh, mk.astype(kh.dtype)], axis=1)
             vh = jnp.concatenate([vh, mv.astype(vh.dtype)], axis=1)
 
+        # heads stay in the projection layout [B, L, H, D]; the einsums carry
+        # the head batching so XLA folds it into the dot operand loads
+        # instead of emitting [B, L, H, D] -> [B, H, L, D] transpose copies
+        # (which ran ~120 times inside the decode scan at b128/k5)
         def split_heads(x):
-            return x.reshape(x.shape[0], x.shape[1], self.n_heads, d_k).transpose(
-                0, 2, 1, 3)
+            return x.reshape(x.shape[0], x.shape[1], self.n_heads, d_k)
 
         qh = split_heads(qh.reshape(b, kv_fold * nq, self.d_model))
         kh, vh = split_heads(kh), split_heads(vh)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(d_k)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(d_k)
         if mask is not None:
             neg = jnp.asarray(-jnp.inf, scores.dtype)
             if self.n_memories > 0:
@@ -123,8 +126,7 @@ class Attention(nn.Module):
                 scores = jnp.where(mask, neg, scores)
         p = nn.softmax(scores, axis=-1)
         p = self.attn_drop(p, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
-        out = out.transpose(0, 2, 1, 3).reshape(bq, nq, self.d_model)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(bq, nq, self.d_model)
         return self.fc_o(out)
 
     def project_kv(self, k: jnp.ndarray, v: jnp.ndarray) -> KVCache:
