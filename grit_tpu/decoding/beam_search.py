@@ -25,12 +25,18 @@ The per-step callable is the model's single-token ``decode_step`` under
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = float("-inf")
+
+# Cache-reorder implementation for the per-step parent-beam gather:
+# take_along_axis (default) vs a one-hot matmul (rides the MXU; exact for
+# 0/1 weights — picks single values, no summation error).  Chip A/B flag.
+_MM_GATHER = os.environ.get("GRIT_BEAM_MM_GATHER", "0") == "1"
 
 
 class BeamResult(NamedTuple):
@@ -111,10 +117,22 @@ def beam_search(
         selected_words = (selected_idx % v).astype(jnp.int32)
 
         # reorder beam-dependent state by the selected parent beam
-        def gather_beams(x):
-            y = x.reshape(b, k, *x.shape[1:])
-            idx = selected_beam.reshape(b, k, *([1] * (y.ndim - 2)))
-            return jnp.take_along_axis(y, idx, axis=1).reshape(b * k, *x.shape[1:])
+        if _MM_GATHER:
+            onehot = jax.nn.one_hot(selected_beam, k)  # [B, K, K] f32
+
+            def gather_beams(x):
+                y = x.reshape(b, k, -1)
+                g = jax.lax.dot_general(
+                    onehot.astype(x.dtype), y,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # [B, K, prod(rest)]; 0/1 weights pick rows exactly
+                return g.astype(x.dtype).reshape(b * k, *x.shape[1:])
+        else:
+            def gather_beams(x):
+                y = x.reshape(b, k, *x.shape[1:])
+                idx = selected_beam.reshape(b, k, *([1] * (y.ndim - 2)))
+                return jnp.take_along_axis(y, idx, axis=1).reshape(b * k, *x.shape[1:])
 
         cache = jax.tree.map(gather_beams, cache)
         seq_mask = jnp.take_along_axis(seq_mask, selected_beam, axis=1)

@@ -161,6 +161,30 @@ class TestBeamSearch:
             np.asarray(res3.log_probs[:, 0].sum(-1)), rtol=1e-4, atol=1e-4,
         )
 
+    def test_mm_gather_bit_equal(self, model_and_params, monkeypatch):
+        """GRIT_BEAM_MM_GATHER (one-hot matmul cache reorder) must be
+        bit-equal to the take_along_axis gather — 0/1 weights pick single
+        values, no summation error."""
+        import importlib
+
+        bs = importlib.import_module("grit_tpu.decoding.beam_search")
+
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        fn = self._decode_fn(model, params)
+        outs = []
+        for flag in (False, True):
+            monkeypatch.setattr(bs, "_MM_GATHER", flag)
+            cache = model.apply(params, 2 * 3, MAXLEN, method="init_cache")
+            outs.append(bs.beam_search(fn, cache, vis, 2, 3, MAXLEN, BOS, EOS,
+                                       out_size=3))
+        np.testing.assert_array_equal(
+            np.asarray(outs[0].sequences), np.asarray(outs[1].sequences))
+        np.testing.assert_array_equal(
+            np.asarray(outs[0].scores), np.asarray(outs[1].scores))
+        np.testing.assert_array_equal(
+            np.asarray(outs[0].log_probs), np.asarray(outs[1].log_probs))
+
     def test_beam_jits(self, model_and_params):
         model, params, imgs, _ = model_and_params
         fn = self._decode_fn(model, params)
