@@ -135,8 +135,10 @@ class WindowAttention(nn.Module):
         standard path, so checkpoints are interchangeable.
 
         ``resident`` selects the fused block-STEP path on a resident padded
-        map: pass ``(lns, lnb, real_hw, shift, residual)`` together with
-        ``x_map`` holding the RAW (pre-LN1) padded + pre-rolled map; LN1,
+        map: pass ``(lns, lnb, real_hw, shift, residual, storage_shift)``
+        together with ``x_map`` holding the RAW (pre-LN1) padded map, rolled
+        by ``storage_shift`` (== shift in the classic pre-rolled contract,
+        == the previous block's shift in roll-free mode); LN1,
         the pad-token zeroing, attention, output projection and the residual
         all run in one kernel (grit_tpu.ops.window_attention.fused_block_step).
         """
@@ -159,7 +161,7 @@ class WindowAttention(nn.Module):
         if resident is not None:
             from grit_tpu.ops.window_attention import fused_block_step
 
-            lns, lnb, real_hw, shift, residual = resident
+            lns, lnb, real_hw, shift, residual, storage_shift = resident
             if bias_mask is not None:
                 combined = (
                     bias[None].astype(jnp.float32)
@@ -176,6 +178,7 @@ class WindowAttention(nn.Module):
                 x_map, lns, lnb, wqkv, bqkv, wproj, bproj, combined,
                 scale=d ** -0.5, num_heads=h, window=self.window,
                 real_hw=real_hw, shift=shift, residual=residual, eps=LN_EPS,
+                storage_shift=storage_shift,
             )
             return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
@@ -262,6 +265,11 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
     fused_attn: bool = False
+    # roll-free resident mode: the storage roll of the INCOMING map (the
+    # previous block's shift); the block's output is stored rolled by its
+    # own ``shift``.  Only meaningful when rollfree_enabled() and the map
+    # is resident (BasicLayer sets it); ignored otherwise.
+    storage_shift: int = 0
     dtype: Any = None
 
     @nn.compact
@@ -357,14 +365,23 @@ class SwinBlock(nn.Module):
         (eval, or a frozen stage during training), so dropout and drop-path
         are inert and both residuals live inside the kernels.
         """
+        from grit_tpu.ops import window_attention as wa
         from grit_tpu.ops.window_attention import fused_mlp
 
         assert deterministic, "resident mode is gated on deterministic"
         b, hp, wp, c = x.shape
         lns, lnb = _LayerNormParams(self.dim, name="norm1")()
 
+        # roll-free mode: the band kernel absorbs the shift on its read side
+        # (storage_shift = previous block's shift, set by BasicLayer); the
+        # map then STAYS rolled by self.shift until the next block (the MLP
+        # is per-token, storage order is irrelevant to it) and BasicLayer
+        # unrolls once at stage exit.  Classic mode: roll/unroll around the
+        # attention kernel here.
+        rollfree = wa.rollfree_enabled()
         if self.shift > 0:
-            x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
+            if not rollfree:
+                x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
             mask = jnp.asarray(shifted_window_mask(hp, wp, self.window, self.shift))
         else:
             mask = None
@@ -376,7 +393,8 @@ class SwinBlock(nn.Module):
         )
         out = attn(
             None, mask, deterministic=True, x_map=x,
-            resident=(lns, lnb, hw, self.shift, True),
+            resident=(lns, lnb, hw, self.shift, True,
+                      self.storage_shift if rollfree else self.shift),
         )
 
         hidden = int(self.dim * self.mlp_ratio)
@@ -389,7 +407,7 @@ class SwinBlock(nn.Module):
         mlp_out = fused_mlp(rows, lns2, lnb2, w1, b1, w2, b2, eps=LN_EPS,
                             residual=True)
         x = mlp_out.reshape(b, hp, wp, c)
-        if self.shift > 0:
+        if self.shift > 0 and not rollfree:
             x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
         return x
 
@@ -459,21 +477,34 @@ class BasicLayer(nn.Module):
             if pad_b or pad_r:
                 x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
 
+        # roll-free resident mode: the map's storage follows each block's
+        # shift (the band kernel reads at the static offset), so the
+        # per-shifted-block jnp.roll pairs collapse to ONE unroll at stage
+        # exit.  ``storage`` tracks the roll the previous block left behind.
+        from grit_tpu.ops import window_attention as _wa
+        rollfree = resident and _wa.rollfree_enabled()
+        storage = 0
         for i in range(self.depth):
+            shift_i = 0 if i % 2 == 0 else self.window // 2
             x = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 window=self.window,
-                shift=0 if i % 2 == 0 else self.window // 2,
+                shift=shift_i,
                 drop=self.drop,
                 attn_drop=self.attn_drop,
                 drop_path_rate=self.drop_path_rates[i] if self.drop_path_rates else 0.0,
                 fused_attn=self.fused_attn,
+                storage_shift=storage if rollfree else 0,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, hw, deterministic)
+            if rollfree:
+                storage = shift_i
 
         if resident:
+            if rollfree and storage:
+                x = jnp.roll(x, shift=(storage, storage), axis=(1, 2))
             x = x[:, :h, :w].reshape(b, h * w, c)
         x_down = PatchMerging(self.dim, self.out_dim, dtype=self.dtype, name="downsample")(x, hw)
         return x, x_down, ((h + 1) // 2, (w + 1) // 2)

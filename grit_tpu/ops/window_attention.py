@@ -934,28 +934,62 @@ def _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
 # puts the window row OUTERMOST so the per-row bias block (all nwx window
 # kinds) is DMA'd nwy times per call, not per program.
 _BAND = os.environ.get("GRIT_WA_BAND", "0") == "1"  # pending chip A/B
+# Roll-free shifted blocks (requires _BAND): the band kernel absorbs the
+# cyclic shift on its READ side — two half-window-row refs at a static block
+# offset assemble the shifted band, and an in-VMEM lane rotate handles the
+# column shift — while the output is written in the block's own
+# window-aligned coordinates.  The resident map's storage convention then
+# FOLLOWS each block's shift (see fused_block_step storage_shift), and the
+# per-shifted-block jnp.roll pairs (~12 ms/step at b128, docs/NOTES.md
+# round-3 glue hunt item 4) collapse to one roll at stage exit.
+_ROLLFREE = os.environ.get("GRIT_WA_ROLLFREE", "0") == "1"
+
+
+def rollfree_enabled() -> bool:
+    """True when the resident Swin pipeline should run roll-free shifted
+    blocks (band kernels reading at a storage offset instead of jnp.roll)."""
+    return _BAND and _ROLLFREE
 
 
 def _band_kernel(
     x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
     wp_ref, bp_ref, bias_ref, out_ref, *rest,
     scale, g, d, n_groups, win, nwx, m, save_attn, eps,
-    real_h, real_w, hp, wp, shift, residual, wide,
+    real_h, real_w, hp, wp, shift, residual, wide, delta_c=0,
 ):
     """One (window-row, image, head-group) program of the fused block step.
 
     x/out refs: [1, win, Wp, C]; bias_ref: [1, nwx|1, 1, N, g*N] (wide) or
     [1, nwx|1, g, N, N] (tall); scratch acc/xn: [win, Wp, C].
+
+    Roll-free mode (``delta_c`` != 0): the band's rows arrive as TWO
+    half-window refs [1, win//2, Wp, C] (x_ref is that pair) fetched at a
+    static half-block offset from the storage map, and the columns are
+    rotated by ``delta_c`` in VMEM — together they materialize the band in
+    the block's own window-aligned coordinates without any HBM roll.
     """
+    rollfree = delta_c != 0
+    if rollfree:
+        x_top_ref, x_bot_ref = x_ref
     if save_attn:
         o2_ref, acc_ref, xn_ref = rest
     else:
         acc_ref, xn_ref = rest
     n = win * win
-    c = x_ref.shape[3]
+    c = (x_top_ref if rollfree else x_ref).shape[3]
     gd = g * d
     wy = pl.program_id(0)
     hg = pl.program_id(2)
+
+    def _assemble():
+        """Raw band in compute (window-aligned) coordinates."""
+        if not rollfree:
+            return x_ref[0]
+        rows = jnp.concatenate([x_top_ref[0], x_bot_ref[0]], axis=0)
+        if delta_c % wp != 0:  # static; wp == identity (rows-only offset)
+            rows = jnp.concatenate(
+                [rows[:, delta_c:], rows[:, :delta_c]], axis=1)
+        return rows
 
     row_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 0) // n
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
@@ -973,7 +1007,7 @@ def _band_kernel(
 
     @pl.when(hg == 0)
     def _ln():
-        xf = jnp.where(band_pad, 0.0, x_ref[0].astype(jnp.float32))
+        xf = jnp.where(band_pad, 0.0, _assemble().astype(jnp.float32))
         mu = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
         xn = (xf - mu) * jax.lax.rsqrt(var + eps)
@@ -1059,13 +1093,13 @@ def _band_kernel(
     def _emit():
         y = acc_ref[...] + bp_ref[0][None, None, :]
         if residual:
-            y = y + jnp.where(band_pad, 0.0, x_ref[0].astype(jnp.float32))
+            y = y + jnp.where(band_pad, 0.0, _assemble().astype(jnp.float32))
         out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
                        scale, num_heads, window, real_hw, shift, residual,
-                       eps, save_attn=False):
+                       eps, save_attn=False, storage_shift=0):
     b, hp, wp_, c = x.shape
     h = num_heads
     d = c // h
@@ -1081,15 +1115,38 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
     n_groups = h // g
     wide = _WIDE and g > 1
 
+    # roll-free read offset: the input map is stored rolled by storage_shift
+    # (storage[y, x] = unrolled[(y+ss) % Hp, (x+ss) % Wp]); this block's
+    # window-aligned compute coords are rolled by ``shift``, so the read
+    # offset is delta = shift - storage_shift (mod the map extents)
+    delta_r = (shift - storage_shift) % hp
+    delta_c = (shift - storage_shift) % wp_
+    rollfree = delta_r != 0 or delta_c != 0
+    if rollfree:
+        s_half = window // 2
+        assert s_half > 0 and delta_r % s_half == 0 and hp % s_half == 0, (
+            "roll-free band needs half-window-divisible offsets")
+        n_half = hp // s_half
+        k_off = delta_r // s_half
+
     wq, wk, wv = wqkv[:, :c], wqkv[:, c:2 * c], wqkv[:, 2 * c:]
     bq, bk, bv = bqkv[None, :c], bqkv[None, c:2 * c], bqkv[None, 2 * c:]
 
-    kernel = functools.partial(
+    base_kernel = functools.partial(
         _band_kernel, scale=scale, g=g, d=d, n_groups=n_groups, win=window,
         nwx=nwx, m=m, save_attn=save_attn, eps=eps,
         real_h=real_hw[0], real_w=real_hw[1], hp=hp, wp=wp_,
         shift=shift, residual=residual, wide=wide,
+        # delta_c == wp_ is the identity rotation but still flags the
+        # roll-free ref unpacking when only the rows are offset
+        delta_c=(delta_c or wp_) if rollfree else 0,
     )
+
+    if rollfree:
+        def kernel(x_top, x_bot, *rest):
+            return base_kernel((x_top, x_bot), *rest)
+    else:
+        kernel = base_kernel
     # bias block's window-kind count: per-window kinds when the bias is
     # per-window (m == nw), one shared kind otherwise
     kb = nwx if m > 1 else 1
@@ -1133,6 +1190,29 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
             memory_space=pltpu.VMEM,
         )
 
+    if rollfree:
+        # the storage map read in half-window-row blocks: band wy's rows
+        # live at half-blocks (2*wy + k_off) and (2*wy + k_off + 1),
+        # cyclically (the output spec stays x_spec: written in this block's
+        # own window-aligned coordinates)
+        x_top_spec = pl.BlockSpec(
+            (1, s_half, wp_, c),
+            lambda wy, bb, hg, _k=k_off, _n=n_half: (
+                bb, (2 * wy + _k) % _n, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        x_bot_spec = pl.BlockSpec(
+            (1, s_half, wp_, c),
+            lambda wy, bb, hg, _k=k_off, _n=n_half: (
+                bb, (2 * wy + _k + 1) % _n, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        x_in_specs = [x_top_spec, x_bot_spec]
+        x_operands = (x, x)
+    else:
+        x_in_specs = [x_spec]
+        x_operands = (x,)
+
     out_specs = x_spec
     out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
     if save_attn:
@@ -1145,10 +1225,10 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
     outs = pl.pallas_call(
         kernel,
         grid=(nwy, b, n_groups),  # window row outermost: bias DMA'd per row
-        in_specs=[x_spec, ln_spec, ln_spec,
-                  wcol_spec, wcol_spec, wcol_spec,
-                  bcol_spec, bcol_spec, bcol_spec,
-                  wrow_spec, bp_spec, bias_spec],
+        in_specs=x_in_specs + [ln_spec, ln_spec,
+                               wcol_spec, wcol_spec, wcol_spec,
+                               bcol_spec, bcol_spec, bcol_spec,
+                               wrow_spec, bp_spec, bias_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -1160,7 +1240,8 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
             bytes_accessed=(2 * x.size + m * h * n * n * 4),
             transcendentals=b * nw * h * n * n,
         ),
-    )(x, lns.astype(jnp.float32)[None], lnb.astype(jnp.float32)[None],
+    )(*x_operands, lns.astype(jnp.float32)[None],
+      lnb.astype(jnp.float32)[None],
       wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias_f)
     if save_attn:
         return outs[0], outs[1]
@@ -1189,35 +1270,64 @@ def _step_prefix_ref(x, lns, lnb, pad4, eps):
     return jnp.where(pad4, 0.0, xn).astype(x.dtype)
 
 
-def _step_fwd_impl(*args, **kw):
-    return (_step_forward_band if _BAND else _step_forward)(*args, **kw)
+def _step_fwd_impl(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                   scale, num_heads, window, real_hw, shift, residual, eps,
+                   save_attn=False, storage_shift=None):
+    if storage_shift is None:
+        storage_shift = shift
+    args = (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+            scale, num_heads, window, real_hw, shift, residual, eps)
+    if _BAND:
+        return _step_forward_band(*args, save_attn=save_attn,
+                                  storage_shift=storage_shift)
+    assert storage_shift == shift, (
+        "roll-free storage offsets require the band kernel (GRIT_WA_BAND)")
+    return _step_forward(*args, save_attn=save_attn)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
 def _block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
-                scale, num_heads, window, real_hw, shift, residual, eps):
+                scale, num_heads, window, real_hw, shift, residual, eps,
+                storage_shift):
     return _step_fwd_impl(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
-                          scale, num_heads, window, real_hw, shift, residual, eps)
+                          scale, num_heads, window, real_hw, shift, residual,
+                          eps, storage_shift=storage_shift)
 
 
 def _block_step_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
-                    scale, num_heads, window, real_hw, shift, residual, eps):
+                    scale, num_heads, window, real_hw, shift, residual, eps,
+                    storage_shift):
     out, o_merged = _step_fwd_impl(
         x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
-        scale, num_heads, window, real_hw, shift, residual, eps, save_attn=True,
+        scale, num_heads, window, real_hw, shift, residual, eps,
+        save_attn=True, storage_shift=storage_shift,
     )
     return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, o_merged)
 
 
 def _block_step_bwd(scale, num_heads, window, real_hw, shift, residual, eps,
-                    res, dout):
+                    storage_shift, res, dout):
     """Flash-style backward: recompute the masked LN (XLA, with its vjp), the
     qkv projections (big MXU matmuls), and run the fused attention backward
     kernel; the saved pre-projection attention output supplies the output
-    projection's weight grad without an attention recompute."""
+    projection's weight grad without an attention recompute.
+
+    With ``storage_shift`` (roll-free forward), the saved x is in storage
+    coordinates while everything else (o_merged, dout, the math below) lives
+    in the block's window-aligned compute coordinates — roll x in, roll dx
+    back out.  The backward only runs in training, where the one XLA roll
+    pair is the plain path's cost anyway.
+    """
     from grit_tpu.ops.window import window_partition, window_reverse
 
     x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, attn_out = res
+    d_r = d_c = 0
+    if storage_shift != shift:
+        hp_, wp__ = x.shape[1], x.shape[2]
+        d_r = (shift - storage_shift) % hp_
+        d_c = (shift - storage_shift) % wp__
+        x = jnp.roll(x, shift=(-d_r, -d_c), axis=(1, 2))
     b, hp, wp_, c = x.shape
     nw = (hp // window) * (wp_ // window)
     n = window * window
@@ -1262,6 +1372,8 @@ def _block_step_bwd(scale, num_heads, window, real_hw, shift, residual, eps,
     dx, dlns, dlnb = prefix_vjp(dxn)
     if residual:
         dx = dx + jnp.where(pad4, jnp.zeros((), dout.dtype), dout)
+    if d_r or d_c:
+        dx = jnp.roll(dx, shift=(d_r, d_c), axis=(1, 2))
     return dx, dlns, dlnb, dwqkv, dbqkv, dwproj, dbproj, dbias
 
 
@@ -1271,29 +1383,45 @@ _block_step.defvjp(_block_step_fwd, _block_step_bwd)
 def fused_block_step(
     x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, *,
     scale, num_heads, window, real_hw, shift=0, residual=True, eps=1e-5,
+    storage_shift=None,
 ):
     """One Swin attention half-block on a RESIDENT padded map.
 
     x: [B, Hp, Wp, C] raw (pre-LN1) feature map, padded to window multiples
-    and already cyclically rolled when ``shift`` > 0 (``shift`` is only used
-    to locate the pad tokens in pre-roll coordinates).  Computes
+    and cyclically rolled by ``storage_shift`` (``shift`` locates the pad
+    tokens in pre-roll coordinates).  The default storage_shift == shift is
+    the classic contract: the caller pre-rolled the map to this block's
+    window alignment.  In roll-free mode (``rollfree_enabled()``) the caller
+    passes the map as the PREVIOUS block left it (storage_shift = previous
+    block's shift) and the band kernel absorbs the offset on its read side;
+    the output is always stored rolled by ``shift`` (this block's own
+    alignment).  Computes
     ``x_masked + proj(win_attn(qkv(LN1(x_masked))))`` (or just the branch
     with ``residual=False`` for external drop-path), entirely in one Pallas
     kernel.  Pad rows of the output are unspecified (finite) — callers slice
     the real region at stage exit.  Differentiable (flash-style recompute
     backward).  Reference semantics: swin_model.py:108-187.
     """
+    if storage_shift is None:
+        storage_shift = shift  # classic pre-rolled contract (delta == 0)
     return _block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
-                       scale, num_heads, window, real_hw, shift, residual, eps)
+                       scale, num_heads, window, real_hw, shift, residual,
+                       eps, storage_shift)
 
 
 def block_step_ref(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, *,
                    scale, num_heads, window, real_hw, shift=0, residual=True,
-                   eps=1e-5):
+                   eps=1e-5, storage_shift=None):
     """jnp mirror of ``fused_block_step`` (test oracle)."""
     from grit_tpu.ops.window import window_partition, window_reverse
 
     b, hp, wp_, c = x.shape
+    if storage_shift is not None and storage_shift != shift:
+        # roll-free contract: x arrives in storage coords; compute (and the
+        # returned output) live in this block's window-aligned coords
+        d_r = (shift - storage_shift) % hp
+        d_c = (shift - storage_shift) % wp_
+        x = jnp.roll(x, shift=(-d_r, -d_c), axis=(1, 2))
     nw = (hp // window) * (wp_ // window)
     n = window * window
     pad4 = _pad_mask(hp, wp_, real_hw, shift)

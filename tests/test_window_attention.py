@@ -268,11 +268,114 @@ def test_block_step_grads_match_reference(flags, monkeypatch):
                                    err_msg=f"grad mismatch for {name}")
 
 
-def test_swin_resident_mode_parity_with_padding():
+@pytest.mark.parametrize("wide", [False, True])
+@pytest.mark.parametrize("case", [
+    # (B, Hp, Wp, C, h, win, rh, rw, shift, storage_shift)
+    (2, 8, 12, 16, 4, 4, 6, 9, 2, 0),    # shifted block, unrolled storage
+    (2, 8, 12, 16, 4, 4, 6, 9, 0, 2),    # unshifted block, rolled storage
+    (1, 16, 8, 64, 2, 8, 13, 8, 4, 0),   # single window column, wraps
+    (2, 4, 8, 16, 4, 4, 4, 8, 2, 0),     # nwy == 1: both half-blocks wrap
+])
+def test_block_step_rollfree_matches_reference(case, wide, monkeypatch):
+    """Roll-free band reads (storage_shift != shift): the kernel assembles
+    the shifted band from two half-window refs + an in-VMEM column rotate
+    instead of the caller jnp.roll-ing the map."""
+    monkeypatch.setattr(wa, "_WIDE", wide)
+    monkeypatch.setattr(wa, "_BAND", True)
+    monkeypatch.setattr(wa, "_ROLLFREE", True)
+    b, hp, wp_, c, h, win, rh, rw, shift, ss = case
+    n = win * win
+    nw = (hp // win) * (wp_ // win)
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    x = jax.random.normal(ks[0], (b, hp, wp_, c))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    lnb = 0.1 * jax.random.normal(ks[2], (c,))
+    wqkv = jax.random.normal(ks[3], (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(ks[4], (3 * c,)) * 0.1
+    wproj = jax.random.normal(ks[5], (c, c)) * 0.1
+    bproj = jax.random.normal(ks[6], (c,)) * 0.1
+    bias = jax.random.normal(ks[7], (nw if shift else 1, h, n, n))
+    kw = dict(scale=(c // h) ** -0.5, num_heads=h, window=win,
+              real_hw=(rh, rw), shift=shift, residual=True,
+              storage_shift=ss)
+
+    ref = wa.block_step_ref(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, **kw)
+    with _interp_patch():
+        out = wa.fused_block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                  bias, **kw)
+    # output is in COMPUTE coords (rolled by ``shift``): token (y, x) is
+    # real iff its unrolled position ((y+shift) mod Hp, (x+shift) mod Wp)
+    # lies inside (rh, rw)
+    yy = (np.arange(hp) + shift) % hp
+    xx = (np.arange(wp_) + shift) % wp_
+    real = (yy[:, None] < rh) & (xx[None, :] < rw)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, real], np.asarray(ref)[:, real],
+        rtol=2e-5, atol=2e-5)
+
+
+def test_block_step_rollfree_grads_match_reference(monkeypatch):
+    """custom_vjp backward under a roll-free forward (storage coords in,
+    compute coords out) vs autodiff of the oracle."""
+    monkeypatch.setattr(wa, "_WIDE", False)
+    monkeypatch.setattr(wa, "_BAND", True)
+    monkeypatch.setattr(wa, "_ROLLFREE", True)
+    b, hp, wp_, c, h, win, rh, rw, shift, ss = 2, 8, 12, 16, 4, 4, 6, 9, 2, 0
+    n = win * win
+    nw = (hp // win) * (wp_ // win)
+    ks = jax.random.split(jax.random.PRNGKey(9), 8)
+    x = jax.random.normal(ks[0], (b, hp, wp_, c))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    lnb = 0.1 * jax.random.normal(ks[2], (c,))
+    wqkv = jax.random.normal(ks[3], (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(ks[4], (3 * c,)) * 0.1
+    wproj = jax.random.normal(ks[5], (c, c)) * 0.1
+    bproj = jax.random.normal(ks[6], (c,)) * 0.1
+    bias = jax.random.normal(ks[7], (nw, h, n, n))
+    kw = dict(scale=(c // h) ** -0.5, num_heads=h, window=win,
+              real_hw=(rh, rw), shift=shift, residual=True, storage_shift=ss)
+    yy = (np.arange(hp) + shift) % hp
+    xx = (np.arange(wp_) + shift) % wp_
+    real = jnp.asarray((yy[:, None] < rh) & (xx[None, :] < rw))[None, :, :, None]
+
+    def loss(fn):
+        def f(*a):
+            out = fn(*a, **kw)
+            return jnp.sum(jnp.where(real, out, 0.0) ** 2)
+        return f
+
+    args = (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias)
+    with _interp_patch():
+        g_f = jax.grad(loss(wa.fused_block_step), argnums=tuple(range(8)))(*args)
+    g_r = jax.grad(loss(wa.block_step_ref), argnums=tuple(range(8)))(*args)
+    names = ["x", "lns", "lnb", "wqkv", "bqkv", "wproj", "bproj", "bias"]
+    # x grads live in STORAGE coords: real iff unrolled (y+ss, x+ss) in range
+    ys = (np.arange(hp) + ss) % hp
+    xs = (np.arange(wp_) + ss) % wp_
+    real_s = (ys[:, None] < rh) & (xs[None, :] < rw)
+    for name, gf, gr in zip(names, g_f, g_r):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        if name == "x":  # pad-row input grads are don't-cares
+            gf = gf[:, real_s]
+            gr = gr[:, real_s]
+        np.testing.assert_allclose(gf, gr, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad mismatch for {name}")
+
+
+@pytest.mark.parametrize("flags", [
+    # (_WIDE, _BAND, _ROLLFREE) — rollfree exercises the storage-convention
+    # threading in BasicLayer (one unroll per stage instead of per block)
+    (False, False, False), (False, True, False), (False, True, True),
+    (True, True, True),
+])
+def test_swin_resident_mode_parity_with_padding(flags, monkeypatch):
     """Resident padded-map pipeline (fused, with pad + shifted blocks) vs the
     plain path — the end-to-end guard for fused_block_step wiring."""
     from grit_tpu.models.swin import SwinTransformer
 
+    monkeypatch.setattr(wa, "_WIDE", flags[0])
+    monkeypatch.setattr(wa, "_BAND", flags[1])
+    monkeypatch.setattr(wa, "_ROLLFREE", flags[2])
     # 40x56 -> hw (10, 14) at patch 4 -> pads to (12, 16) with window 4;
     # depths (2, 2) cover shifted blocks on a padded map
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 56, 3))
