@@ -29,14 +29,15 @@ uses them, no code changes):
 
 Alignment resolution: candidate matches are collected from every active
 stage (paraphrase candidates over phrases up to length 4, like the jar)
-and resolved to a one-to-one, non-overlapping alignment by the jar's
-documented objective — maximize covered words, then minimize chunks —
-via stage-ordered greedy selection with a local chunk-preference
-tie-break.  The jar's beam search explores more tie-break orders; on
-caption-length sentences the objective has few ties and the difference is
-below reporting precision.  Bit-level jar parity is unverifiable here
-(no jar, no JVM, no data files — docs/PARITY.md); the ALGORITHM is
-complete, so parity is one data-file drop away.
+and resolved to a one-to-one, non-overlapping alignment by a left-to-right
+beam search over partial alignments (the jar Aligner's strategy, beam 40),
+ranking alignments by the jar's documented objective order — most covered
+words, fewest chunks, highest total stage weight, smallest start-offset
+distance.  (A size-first greedy is NOT equivalent: one long low-stage
+paraphrase match can block several exact matches that together cover more
+words.)  Bit-level jar parity is unverifiable here (no jar, no JVM, no
+data files — docs/PARITY.md); the ALGORITHM is complete, so parity is one
+data-file drop away.
 """
 
 from __future__ import annotations
@@ -164,30 +165,69 @@ class Meteor:
                                     (STAGE_WEIGHTS["paraphrase"], 3, i, li, j, lj))
         return out
 
+    @staticmethod
+    def _alignment_rank(chosen: tuple):
+        """Jar objective order: (covered words, -chunks, total stage weight,
+        -start-offset distance).  ``chosen`` is candidate-position ordered
+        (the beam builds it that way), so chunks count directly."""
+        if not chosen:
+            return (0, 0, 0.0, 0)
+        cov = sum(m[3] + m[5] for m in chosen)
+        chunks = 1
+        for a, b in zip(chosen, chosen[1:]):
+            if not (b[2] == a[2] + a[3] and b[4] == a[4] + a[5]):
+                chunks += 1
+        wt = sum(m[0] * (m[3] + m[5]) for m in chosen)
+        dist = sum(abs(m[2] - m[4]) for m in chosen)
+        return (cov, -chunks, wt, -dist)
+
     def _align(self, cand: list, ref: list):
         """Resolve candidates to a non-overlapping alignment.
 
-        Objective (the jar's): maximize covered words, then minimize chunks.
-        Selection is stage-ordered (higher-priority stages first), larger
-        phrase coverage first, then leftmost — the deterministic core of the
-        jar's beam search.
+        Left-to-right beam search over partial alignments (the jar
+        Aligner's strategy, beam 40): at each candidate position either
+        leave it unmatched or commit one match starting there that does not
+        collide with the partial alignment's used reference words; partial
+        states dedup on (used-ref mask, next-free-candidate position) and
+        prune by ``_alignment_rank``.  A size-first greedy violates the
+        primary maximize-covered-words objective: one long low-stage
+        paraphrase can block several exact matches covering more words.
         """
         candidates = self._candidate_matches(cand, ref)
-        # order: more covered words first (the jar's primary objective),
-        # then stage priority, then leftmost
-        candidates.sort(key=lambda m: (-(m[3] + m[5]), m[1], m[2], m[4]))
-        used_c = [False] * len(cand)
-        used_r = [False] * len(ref)
-        chosen = []
-        for w, stage, ci, cl, ri, rl in candidates:
-            if any(used_c[ci:ci + cl]) or any(used_r[ri:ri + rl]):
-                continue
-            for k in range(ci, ci + cl):
-                used_c[k] = True
-            for k in range(ri, ri + rl):
-                used_r[k] = True
-            chosen.append((w, stage, ci, cl, ri, rl))
-        return chosen
+        if not candidates:
+            return []
+        by_start: dict = {}
+        for m in candidates:
+            by_start.setdefault(m[2], []).append(m)
+        BEAM = 40
+        states = {(0, 0): ()}  # (used_r_mask, c_next) -> chosen
+        for i in range(len(cand)):
+            new: dict = {}
+
+            def offer(key, chosen):
+                prev = new.get(key)
+                if prev is None or (self._alignment_rank(chosen)
+                                    > self._alignment_rank(prev)):
+                    new[key] = chosen
+
+            for (mask, c_next), chosen in states.items():
+                if c_next > i:  # inside an already-committed phrase
+                    offer((mask, c_next), chosen)
+                    continue
+                offer((mask, i + 1), chosen)  # leave word i unmatched
+                for m in by_start.get(i, ()):
+                    rbits = ((1 << m[5]) - 1) << m[4]
+                    if mask & rbits:
+                        continue
+                    offer((mask | rbits, i + m[3]), chosen + (m,))
+            if len(new) > BEAM:
+                new = dict(sorted(
+                    new.items(),
+                    key=lambda kv: self._alignment_rank(kv[1]),
+                    reverse=True,
+                )[:BEAM])
+            states = new
+        return list(max(states.values(), key=self._alignment_rank))
 
     # ------------------------------------------------------------------
     def _score_pair(self, cand_str: str, ref_str: str) -> float:

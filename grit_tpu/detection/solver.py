@@ -131,6 +131,10 @@ class Trainer(SolverBase):
             self.step_metrics = metrics
             self.global_step += 1
             self.call_hooks("after_step")
+        # fresh results each epoch: an empty valider summary must NOT leave
+        # the previous epoch's metrics visible to after_epoch hooks (the
+        # BestCheckpointHook would score this epoch with stale mAP)
+        self.epoch_results = {}
         for valider in self.validers:
             res = valider.run_epoch(epoch)
             if res:

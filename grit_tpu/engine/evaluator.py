@@ -85,16 +85,6 @@ def evaluate_metrics(
                 f"Total time per 1 batch: {sum(times) / len(times):0.5f}s"
             )
 
-    def pad_leading(tree, to):
-        def pad(x):
-            arr = np.asarray(x)
-            if arr.shape[0] >= to:
-                return x
-            fill = np.zeros((to - arr.shape[0],) + arr.shape[1:], arr.dtype)
-            return np.concatenate([arr, fill], axis=0)
-
-        return jax.tree.map(pad, tree)
-
     # pipeline: dispatch batch i+1 before decoding batch i's result, so host
     # decode/bookkeeping overlaps device beam search
     pending = None
@@ -107,8 +97,12 @@ def evaluate_metrics(
         if bs < nominal_bs:
             # pad the ragged FINAL batch to the compiled batch size instead of
             # paying a second full-model compile for its shape (~10 min on the
-            # tunnel); consume() slices the outputs back to the true count
-            samples = pad_leading(samples, nominal_bs)
+            # tunnel); consume() slices the outputs back to the true count.
+            # pad_to_multiple is the one tree-padding helper (zero image +
+            # all-valid mask; its docstring carries the int-leaf hazards)
+            from grit_tpu.parallel.mesh import pad_to_multiple
+
+            samples = pad_to_multiple(samples, nominal_bs)
         t_dispatch = time.time()
         out_dev = generate_fn(params, samples, max(bs, nominal_bs))
         if pending is not None:

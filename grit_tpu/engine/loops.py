@@ -116,15 +116,25 @@ def train_xe_epoch(
         pending_loss.clear()
         pending_lr.clear()
 
+    train_nominal = None
     for it, batch in enumerate(dataloaders["train"]):
         rng, step_rng = jax.random.split(rng)
+        batch = {"samples": batch["samples"], "captions": batch["captions"]}
+        # pad a ragged FINAL batch to the first batch's size: the tail would
+        # otherwise compile a second xe_step program (and, multi-process,
+        # race the Gloo rendezvous on its first execution).  Zero-weight
+        # [BOS, pad...] rows leave loss AND grads bit-unchanged (pinned by
+        # the test_multichip ragged-exactness tests).
+        bs = int(np.asarray(batch["captions"]).shape[0])
+        if train_nominal is None:
+            train_nominal = bs
+        if bs < train_nominal:
+            from grit_tpu.parallel.mesh import pad_to_multiple
+
+            batch = pad_to_multiple(batch, train_nominal,
+                                    int_fill=pad_idx, int_first=bos_idx)
         if mesh is not None:
-            batch = shard_batch(
-                {"samples": batch["samples"], "captions": batch["captions"]}, mesh,
-                int_fill=pad_idx, int_first=bos_idx,
-            )
-        else:
-            batch = {"samples": batch["samples"], "captions": batch["captions"]}
+            batch = shard_batch(batch, mesh, int_fill=pad_idx, int_first=bos_idx)
         if it == 0:
             from grit_tpu.parallel.distributed import align_compile
 
@@ -208,8 +218,21 @@ def train_sc_epoch(
         )
         return state, metrics
 
+    gen_nominal = None
     for batch in dataloaders["train_dict"]:
         samples = batch["samples"]
+        # pad a ragged final batch to the first batch's size: generate_step
+        # jits with a static batch and scst_update with fixed shapes, so the
+        # tail would compile BOTH programs again (reward_and_update already
+        # scores only the true ``len(captions)`` rows, and the SCST update
+        # is exactly invariant to padded rows — test_engine pins it)
+        true_bs = int(jax.tree.leaves(samples)[0].shape[0])
+        if gen_nominal is None:
+            gen_nominal = true_bs
+        if true_bs < gen_nominal:
+            from grit_tpu.parallel.mesh import pad_to_multiple
+
+            samples = pad_to_multiple(samples, gen_nominal)
         if mesh is not None:
             samples = shard_batch(samples, mesh)
         bs = int(jax.tree.leaves(samples)[0].shape[0])  # padded size for the jitted search
@@ -236,8 +259,18 @@ def train_sc_epoch(
 
     barrier("sc_val_start")
     val_running, vn = 0.0, 0
+    val_nominal = None
     for batch in dataloaders["valid"]:
         b = {"samples": batch["samples"], "captions": batch["captions"]}
+        # ragged-tail padding: see train_xe_epoch's val loop (bit-unchanged
+        # per-token loss; avoids a tail-shape recompile + Gloo skew)
+        bs = int(np.asarray(b["captions"]).shape[0])
+        if val_nominal is None:
+            val_nominal = bs
+        if bs < val_nominal:
+            from grit_tpu.parallel.mesh import pad_to_multiple
+
+            b = pad_to_multiple(b, val_nominal, int_fill=pad_idx, int_first=bos_idx)
         if mesh is not None:
             b = shard_batch(b, mesh, int_fill=pad_idx, int_first=bos_idx)
         if vn == 0:

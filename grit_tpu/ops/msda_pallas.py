@@ -72,15 +72,23 @@ def _aligned_spans(spatial_shapes):
     The total carries a tail pad of (max W + 2) rows so the v3 kernel's
     statically SHIFTED slices (offset up to W+1) never run off the slab.
     """
-    pad = max(w for _, w in spatial_shapes) + 2
-    lead = -(-pad // 8) * 8  # head pad: v3's left-extended compare window
+    if FWD_VARIANT == "v3":
+        # v3's statically SHIFTED slices (offset up to W+1) need head/tail
+        # slack; v2 must NOT pay these — they force s_pad != s and a full
+        # value-slab re-lay on the production pyramid, whose level sizes
+        # are otherwise already 8-aligned (identity layout, no copy)
+        pad = max(w for _, w in spatial_shapes) + 2
+        lead = -(-pad // 8) * 8
+        tail = -(-pad // 8) * 8
+    else:
+        lead = tail = 0
     starts, sizes = [], []
     off = lead
     for h, w in spatial_shapes:
         starts.append(off)
         sizes.append(h * w)
         off += -(-(h * w) // 8) * 8
-    off += -(-pad // 8) * 8  # tail pad: v3's shifted slices stay in-bounds
+    off += tail
     return starts, sizes, off
 
 

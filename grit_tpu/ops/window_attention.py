@@ -405,9 +405,7 @@ def _block_kernel(
                 q, bd(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bias  # [N, g*N], column block j = head j's scores
-            e = jnp.exp(
-                jnp.maximum(s - jnp.max(s, axis=-1, keepdims=True), _WIDE_MIN)
-            ).astype(v.dtype)
+            e = _wide_exp(s, g, n, v.dtype)
             o_un = jax.lax.dot_general(
                 e, bd(v), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -683,15 +681,27 @@ def fused_block_attention(
 #     O = O_un / sums
 #
 # ~1.9x fewer VPU element-ops, no rowsum/divide over the score tensor, and
-# no diagonal extraction.  The rowmax mixes heads (exact for softmax — any
-# per-row constant cancels in E/sums), so E is clamped at exp(-60) to keep
-# sums out of the f32 denormal range even for pathological cross-head score
-# spreads (real Swin scores are O(10); the clamp only matters past a
-# ~60-logit spread, where the reference's per-head softmax saturates too).
+# no diagonal extraction.  The softmax shift is a PER-HEAD-BLOCK rowmax
+# (_wide_exp) — exact per-head softmax at any cross-head score spread.
 # _WIDE/_BAND are chip-A/B flags (docs/NOTES.md round 3); interpret-mode
 # parity tests cover all four combinations' code paths.
-_WIDE_MIN = -60.0
 _WIDE = os.environ.get("GRIT_WA_WIDE", "0") == "1"  # pending chip A/B
+
+
+def _wide_exp(s, g, n, dtype):
+    """exp(s - rowmax) for the wide [N, g*N] score layout, with the rowmax
+    taken PER HEAD BLOCK — the exact softmax shift.  (An earlier version
+    used one cross-head rowmax with an exp(-60) clamp; that silently turns
+    a weak head's attention uniform once the cross-head logit spread passes
+    the clamp — per-head softmax is shift-invariant and never saturates, so
+    the head-blocked max is both exact and clamp-free.)"""
+    if g == 1:
+        return jnp.exp(s - jnp.max(s, axis=-1, keepdims=True)).astype(dtype)
+    parts = []
+    for j in range(g):
+        blk = s[:, j * n:(j + 1) * n]
+        parts.append(jnp.exp(blk - jnp.max(blk, axis=-1, keepdims=True)))
+    return jnp.concatenate(parts, axis=1).astype(dtype)
 
 
 def _step_kernel(
@@ -778,9 +788,7 @@ def _step_kernel(
                 q, bd(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bias  # [N, g*N], column block j = head j's scores
-            e = jnp.exp(
-                jnp.maximum(s - jnp.max(s, axis=-1, keepdims=True), _WIDE_MIN)
-            ).astype(v.dtype)
+            e = _wide_exp(s, g, n, v.dtype)
             o_un = jax.lax.dot_general(
                 e, bd(v), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1042,9 +1050,7 @@ def _band_kernel(
                 q, bd(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bias
-            e = jnp.exp(
-                jnp.maximum(s - jnp.max(s, axis=-1, keepdims=True), _WIDE_MIN)
-            ).astype(v.dtype)
+            e = _wide_exp(s, g, n, v.dtype)
             o_un = jax.lax.dot_general(
                 e, bd(v), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

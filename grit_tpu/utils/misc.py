@@ -108,7 +108,7 @@ def _host_cache_tag() -> str:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith(("model name", "flags")):
-                    sig = line
+                    sig += line  # model name AND flags both key the tag
                     if line.startswith("flags"):
                         break
     except OSError:

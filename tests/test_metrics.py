@@ -140,10 +140,15 @@ class TestMeteorGoldens:
         got = self._score_one("the cat sat on the mat", "the cat sat on the mat")
         assert got == pytest.approx(want, abs=1e-12)
 
-    def test_fully_scrambled_all_chunks(self):
-        # all 6 words match but in 6 chunks: frag=1 -> penalty=0.6
+    def test_fully_scrambled_chunk_minimizing_alignment(self):
+        # all 6 words match; the beam search (jar objective: coverage, then
+        # FEWEST chunks) pairs the duplicate "the"s to form contiguous runs
+        # "on the mat" (cand 0-2 -> ref 3-5), "sat", "the cat" (cand 4-5 ->
+        # ref 0-1): 3 chunks, not the 6 a leftmost pairing would give.
+        # fmean=1, penalty=0.6*(3/6)^0.2
+        want = 1 - 0.6 * 0.5 ** 0.2
         got = self._score_one("on the mat sat the cat", "the cat sat on the mat")
-        assert got == pytest.approx(0.4, abs=1e-12)
+        assert got == pytest.approx(want, abs=1e-12)
 
     def test_stem_stage_weight(self):
         # "dogs running" vs "dog runs": both content words, stem-only matches
@@ -204,6 +209,21 @@ class TestMeteorStages:
         # cand: mc=.6(sat) mf=1.0+.6; lens cc=1, cf=2 -> p=.68
         # ref:  mc=.6 mf=1.0; rc=rf=1 -> r=.70; 1 chunk, n_avg=(3+2)/2
         np.testing.assert_allclose(s, self._hand(0.68, 0.70, 1, 2.5), rtol=1e-12)
+
+    def test_paraphrase_table_never_displaces_exact_matches(self, tmp_path):
+        # REGRESSION: on identical sentences the 3 exact matches cover 6
+        # words; the 'sat down ||| sat' paraphrase covers only 5 with he-he.
+        # A size-first greedy picked the bigger single match and LOWERED the
+        # score of an exact pair; the coverage-first beam must not.
+        from grit_tpu.data.metrics.meteor import Meteor
+
+        para = tmp_path / "para.txt"
+        para.write_text("sat down ||| sat\n")
+        bare = Meteor()._score_pair("he sat down", "he sat down")
+        with_table = Meteor(paraphrase_file=str(para))._score_pair(
+            "he sat down", "he sat down")
+        np.testing.assert_allclose(with_table, bare, rtol=1e-12)
+        np.testing.assert_allclose(bare, self._hand(1.0, 1.0, 1, 3), rtol=1e-12)
 
     def test_fragmentation_chunks(self):
         from grit_tpu.data.metrics.meteor import Meteor

@@ -314,6 +314,35 @@ def test_block_step_rollfree_matches_reference(case, wide, monkeypatch):
         rtol=2e-5, atol=2e-5)
 
 
+def test_wide_core_exact_under_cross_head_spread(monkeypatch):
+    """The wide layout's softmax shift must be per-head: with one head's
+    scores ~200 logits above another's (driven via the bias), the weak head's
+    attention must stay exact, not flatten to uniform (the old cross-head
+    rowmax + exp(-60) clamp failed this)."""
+    monkeypatch.setattr(wa, "_WIDE", True)
+    monkeypatch.setattr(wa, "_BAND", False)
+    b, hp, wp_, c, h, win = 1, 8, 8, 16, 2, 4
+    n = win * win
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    x = jax.random.normal(ks[0], (b, hp, wp_, c))
+    lns = jnp.ones((c,))
+    lnb = jnp.zeros((c,))
+    wqkv = jax.random.normal(ks[3], (c, 3 * c)) * 0.1
+    bqkv = jnp.zeros((3 * c,))
+    wproj = jax.random.normal(ks[5], (c, c)) * 0.1
+    bproj = jnp.zeros((c,))
+    bias = jax.random.normal(ks[7], (1, h, n, n))
+    bias = bias.at[:, 0].add(200.0)  # head 0 dominates any cross-head max
+    kw = dict(scale=(c // h) ** -0.5, num_heads=h, window=win,
+              real_hw=(hp, wp_), shift=0, residual=True)
+    ref = wa.block_step_ref(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, **kw)
+    with _interp_patch():
+        out = wa.fused_block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                  bias, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_block_step_rollfree_grads_match_reference(monkeypatch):
     """custom_vjp backward under a roll-free forward (storage coords in,
     compute coords out) vs autodiff of the oracle."""
