@@ -23,6 +23,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -86,6 +87,14 @@ class _DenseParams(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
+
+
+# Training-path A/B flag: run the gradient path's attention half-block
+# through fused_block_step (LN1 + pad masking + attention in ONE kernel,
+# branch-only output for drop-path) instead of an XLA LayerNorm followed by
+# the whole-block kernel.  Kills the standalone LN's f32 convert/reduce
+# passes per block.  Off pending a chip A/B (tools/bench_train.py).
+_TRAIN_STEP_KERNEL = os.environ.get("GRIT_TRAIN_STEP_KERNEL", "0") == "1"
 
 
 class _LayerNormParams(nn.Module):
@@ -292,43 +301,74 @@ class SwinBlock(nn.Module):
         h, w = hw
         b, L, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
-        x = x.reshape(b, h, w, c)
-
+        use_step_kernel = (
+            _TRAIN_STEP_KERNEL and self.fused_attn
+            and (deterministic or self.attn_drop == 0.0)
+        )
         pad_b = (self.window - h % self.window) % self.window
         pad_r = (self.window - w % self.window) % self.window
-        if pad_b or pad_r:
-            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
-
-        if self.shift > 0:
-            x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(hp, wp, self.window, self.shift))
-        else:
-            mask = None
 
         attn = WindowAttention(
             self.dim, self.window, self.num_heads,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             fused=self.fused_attn, dtype=self.dtype, name="attn",
         )
-        if self.fused_attn and (deterministic or self.attn_drop == 0.0):
-            # whole-block kernel on the un-partitioned map — the
-            # partition/reverse transposes become BlockSpec DMA
-            x = attn(None, mask, deterministic=deterministic, x_map=x)
-        else:
-            windows = window_partition(x, self.window)
-            attn_out = attn(
-                windows, mask, deterministic=deterministic,
-                n_windows=(hp // self.window) * (wp // self.window),
-            )
-            x = window_reverse(attn_out, self.window, hp, wp)
 
-        if self.shift > 0:
-            x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
-        if pad_b or pad_r:
-            x = x[:, :h, :w]
-        x = x.reshape(b, L, c)
+        if use_step_kernel:
+            # LN1 + pad masking + attention + proj in ONE kernel on the RAW
+            # map (branch-only: drop-path and the residual apply outside, as
+            # the reference orders them); same params/names as the split
+            # path, so the two are checkpoint-interchangeable
+            lns, lnb = _LayerNormParams(self.dim, name="norm1")()
+            x4 = shortcut.reshape(b, h, w, c)
+            if pad_b or pad_r:
+                x4 = jnp.pad(x4, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            if self.shift > 0:
+                x4 = jnp.roll(x4, shift=(-self.shift, -self.shift), axis=(1, 2))
+                mask = jnp.asarray(
+                    shifted_window_mask(hp, wp, self.window, self.shift))
+            else:
+                mask = None
+            x4 = attn(
+                None, mask, deterministic=deterministic, x_map=x4,
+                resident=(lns, lnb, (h, w), self.shift, False, self.shift),
+            )
+            if self.shift > 0:
+                x4 = jnp.roll(x4, shift=(self.shift, self.shift), axis=(1, 2))
+            if pad_b or pad_r:
+                x4 = x4[:, :h, :w]
+            x = x4.reshape(b, L, c)
+        else:
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
+            x = x.reshape(b, h, w, c)
+            if pad_b or pad_r:
+                x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+
+            if self.shift > 0:
+                x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
+                mask = jnp.asarray(
+                    shifted_window_mask(hp, wp, self.window, self.shift))
+            else:
+                mask = None
+
+            if self.fused_attn and (deterministic or self.attn_drop == 0.0):
+                # whole-block kernel on the un-partitioned map — the
+                # partition/reverse transposes become BlockSpec DMA
+                x = attn(None, mask, deterministic=deterministic, x_map=x)
+            else:
+                windows = window_partition(x, self.window)
+                attn_out = attn(
+                    windows, mask, deterministic=deterministic,
+                    n_windows=(hp // self.window) * (wp // self.window),
+                )
+                x = window_reverse(attn_out, self.window, hp, wp)
+
+            if self.shift > 0:
+                x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
+            if pad_b or pad_r:
+                x = x[:, :h, :w]
+            x = x.reshape(b, L, c)
 
         rng = self.make_rng("dropout") if not deterministic and self.drop_path_rate > 0 else None
         x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)

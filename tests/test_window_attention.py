@@ -421,6 +421,43 @@ def test_swin_resident_mode_parity_with_padding(flags, monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("band", [False, True])
+def test_train_step_kernel_path_matches_plain(band, monkeypatch):
+    """GRIT_TRAIN_STEP_KERNEL: the gradient path's LN1+attention half-block
+    runs as one fused_block_step kernel — outputs and parameter grads must
+    match the plain (fused_attn=False) path in TRAINING mode."""
+    import grit_tpu.models.swin as swin_mod
+    from grit_tpu.models.swin import SwinTransformer
+
+    monkeypatch.setattr(swin_mod, "_TRAIN_STEP_KERNEL", True)
+    monkeypatch.setattr(wa, "_BAND", band)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 56, 3))
+    mk = dict(embed_dim=8, depths=(2, 2), num_heads=(2, 2), window=4,
+              drop_path_rate=0.0, pos_dim=16)
+    m_off = SwinTransformer(**mk, fused_attn=False)
+    params = m_off.init(jax.random.PRNGKey(1), x)
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+
+    def loss(m):
+        def f(p):
+            outs = m.apply(p, x, deterministic=False, rngs=rngs)
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+        return f
+
+    l_off, g_off = jax.value_and_grad(loss(m_off))(params)
+    m_on = SwinTransformer(**mk, fused_attn=True)
+    with _interp_patch():
+        l_on, g_on = jax.value_and_grad(loss(m_on))(params)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-5)
+    flat_on = jax.tree_util.tree_leaves_with_path(g_on)
+    flat_off = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(g_off)}
+    for k, v in flat_on:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_off[jax.tree_util.keystr(k)]),
+            rtol=2e-4, atol=2e-4, err_msg=f"grad mismatch for {jax.tree_util.keystr(k)}")
+
+
 @pytest.mark.parametrize("residual", [True, False])
 def test_fused_mlp_grads_match_reference(residual):
     """fused_mlp custom_vjp vs autodiff of LN -> fc1 -> GELU -> fc2 [+ x]."""
