@@ -166,6 +166,19 @@ class Meteor:
         return out
 
     @staticmethod
+    def _count_chunks(matches):
+        """Chunks = maximal runs contiguous in BOTH sentences; ``matches``
+        must be candidate-position ordered.  Shared by the alignment
+        objective and the fragmentation penalty so they cannot drift."""
+        if not matches:
+            return 0
+        chunks = 1
+        for a, b in zip(matches, matches[1:]):
+            if not (b[2] == a[2] + a[3] and b[4] == a[4] + a[5]):
+                chunks += 1
+        return chunks
+
+    @staticmethod
     def _alignment_rank(chosen: tuple):
         """Jar objective order: (covered words, -chunks, total stage weight,
         -start-offset distance).  ``chosen`` is candidate-position ordered
@@ -173,13 +186,9 @@ class Meteor:
         if not chosen:
             return (0, 0, 0.0, 0)
         cov = sum(m[3] + m[5] for m in chosen)
-        chunks = 1
-        for a, b in zip(chosen, chosen[1:]):
-            if not (b[2] == a[2] + a[3] and b[4] == a[4] + a[5]):
-                chunks += 1
         wt = sum(m[0] * (m[3] + m[5]) for m in chosen)
         dist = sum(abs(m[2] - m[4]) for m in chosen)
-        return (cov, -chunks, wt, -dist)
+        return (cov, -Meteor._count_chunks(chosen), wt, -dist)
 
     def _align(self, cand: list, ref: list):
         """Resolve candidates to a non-overlapping alignment.
@@ -200,34 +209,35 @@ class Meteor:
         for m in candidates:
             by_start.setdefault(m[2], []).append(m)
         BEAM = 40
-        states = {(0, 0): ()}  # (used_r_mask, c_next) -> chosen
+        # state value = (rank, chosen): rank computed ONCE per alignment so
+        # offers/prunes/final-pick don't re-derive it O(|chosen|) each time
+        states = {(0, 0): (self._alignment_rank(()), ())}
         for i in range(len(cand)):
             new: dict = {}
 
-            def offer(key, chosen):
+            def offer(key, ranked):
                 prev = new.get(key)
-                if prev is None or (self._alignment_rank(chosen)
-                                    > self._alignment_rank(prev)):
-                    new[key] = chosen
+                if prev is None or ranked[0] > prev[0]:
+                    new[key] = ranked
 
-            for (mask, c_next), chosen in states.items():
+            for (mask, c_next), ranked in states.items():
                 if c_next > i:  # inside an already-committed phrase
-                    offer((mask, c_next), chosen)
+                    offer((mask, c_next), ranked)
                     continue
-                offer((mask, i + 1), chosen)  # leave word i unmatched
+                offer((mask, i + 1), ranked)  # leave word i unmatched
                 for m in by_start.get(i, ()):
                     rbits = ((1 << m[5]) - 1) << m[4]
                     if mask & rbits:
                         continue
-                    offer((mask | rbits, i + m[3]), chosen + (m,))
+                    chosen = ranked[1] + (m,)
+                    offer((mask | rbits, i + m[3]),
+                          (self._alignment_rank(chosen), chosen))
             if len(new) > BEAM:
                 new = dict(sorted(
-                    new.items(),
-                    key=lambda kv: self._alignment_rank(kv[1]),
-                    reverse=True,
+                    new.items(), key=lambda kv: kv[1][0], reverse=True,
                 )[:BEAM])
             states = new
-        return list(max(states.values(), key=self._alignment_rank))
+        return list(max(states.values(), key=lambda rc: rc[0])[1])
 
     # ------------------------------------------------------------------
     def _score_pair(self, cand_str: str, ref_str: str) -> float:
@@ -271,10 +281,7 @@ class Meteor:
         # chunks: matches sorted by candidate position; a chunk breaks when
         # the next match is not contiguous in BOTH sentences
         matches = sorted(chosen, key=lambda m: m[2])
-        chunks = 1
-        for a, b in zip(matches, matches[1:]):
-            if not (b[2] == a[2] + a[3] and b[4] == a[4] + a[5]):
-                chunks += 1
+        chunks = self._count_chunks(matches)
         # frag denominator: AVERAGE of covered word counts on the two sides
         # (MeteorScorer: (matches1 + matches2) / 2); no perfect-match special
         # case — the rank-tuned beta=0.2 simply leaves short perfect matches

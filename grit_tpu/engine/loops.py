@@ -26,7 +26,26 @@ import jax
 import numpy as np
 
 from grit_tpu.data.metrics import PTBTokenizer
-from grit_tpu.parallel.mesh import shard_batch
+from grit_tpu.parallel.mesh import pad_to_multiple, shard_batch
+
+
+def ragged_padder(**pad_kw):
+    """Tail-batch padder: remembers the FIRST batch's leading size and pads
+    any smaller batch up to it (pad_to_multiple conventions: zero
+    image/all-valid mask; caption ints need int_fill/int_first).  A ragged
+    tail would otherwise compile a second program for its shape and, multi-
+    process, race the fresh executable's ~30 s Gloo rendezvous."""
+    nominal = None
+
+    def pad(tree, batch_size):
+        nonlocal nominal
+        if nominal is None:
+            nominal = batch_size
+        if batch_size < nominal:
+            tree = pad_to_multiple(tree, nominal, **pad_kw)
+        return tree
+
+    return pad
 
 
 def log_epoch_csv(config, epoch, split, scores, train_res, which, path="result.csv"):
@@ -116,23 +135,13 @@ def train_xe_epoch(
         pending_loss.clear()
         pending_lr.clear()
 
-    train_nominal = None
+    # zero-weight [BOS, pad...] rows leave loss AND grads bit-unchanged
+    # (pinned by the test_multichip ragged-exactness tests)
+    pad_train = ragged_padder(int_fill=pad_idx, int_first=bos_idx)
     for it, batch in enumerate(dataloaders["train"]):
         rng, step_rng = jax.random.split(rng)
         batch = {"samples": batch["samples"], "captions": batch["captions"]}
-        # pad a ragged FINAL batch to the first batch's size: the tail would
-        # otherwise compile a second xe_step program (and, multi-process,
-        # race the Gloo rendezvous on its first execution).  Zero-weight
-        # [BOS, pad...] rows leave loss AND grads bit-unchanged (pinned by
-        # the test_multichip ragged-exactness tests).
-        bs = int(np.asarray(batch["captions"]).shape[0])
-        if train_nominal is None:
-            train_nominal = bs
-        if bs < train_nominal:
-            from grit_tpu.parallel.mesh import pad_to_multiple
-
-            batch = pad_to_multiple(batch, train_nominal,
-                                    int_fill=pad_idx, int_first=bos_idx)
+        batch = pad_train(batch, int(np.asarray(batch["captions"]).shape[0]))
         if mesh is not None:
             batch = shard_batch(batch, mesh, int_fill=pad_idx, int_first=bos_idx)
         if it == 0:
@@ -151,20 +160,10 @@ def train_xe_epoch(
     barrier("xe_val_start")  # val-loss program first-run alignment
     val_running = 0.0
     vn = 0
-    val_nominal = None
+    pad_val = ragged_padder(int_fill=pad_idx, int_first=bos_idx)
     for batch in dataloaders["valid"]:
         b = {"samples": batch["samples"], "captions": batch["captions"]}
-        # pad the ragged FINAL batch to the first batch's size: the val-loss
-        # program would otherwise recompile for the tail shape, and the
-        # [BOS, pad...] rows carry zero token weight so the per-token loss is
-        # bit-unchanged (pinned by test_multichip ragged-exactness tests)
-        bs = int(np.asarray(b["captions"]).shape[0])
-        if val_nominal is None:
-            val_nominal = bs
-        if bs < val_nominal:
-            from grit_tpu.parallel.mesh import pad_to_multiple
-
-            b = pad_to_multiple(b, val_nominal, int_fill=pad_idx, int_first=bos_idx)
+        b = pad_val(b, int(np.asarray(b["captions"]).shape[0]))
         if mesh is not None:
             b = shard_batch(b, mesh, int_fill=pad_idx, int_first=bos_idx)
         if vn == 0:
@@ -218,21 +217,14 @@ def train_sc_epoch(
         )
         return state, metrics
 
-    gen_nominal = None
+    # generate_step jits with a static batch and scst_update with fixed
+    # shapes, so a ragged tail would compile BOTH programs again;
+    # reward_and_update scores only the true ``len(captions)`` rows and the
+    # SCST update is exactly invariant to padded rows (test_engine pins it)
+    pad_gen = ragged_padder()
     for batch in dataloaders["train_dict"]:
         samples = batch["samples"]
-        # pad a ragged final batch to the first batch's size: generate_step
-        # jits with a static batch and scst_update with fixed shapes, so the
-        # tail would compile BOTH programs again (reward_and_update already
-        # scores only the true ``len(captions)`` rows, and the SCST update
-        # is exactly invariant to padded rows — test_engine pins it)
-        true_bs = int(jax.tree.leaves(samples)[0].shape[0])
-        if gen_nominal is None:
-            gen_nominal = true_bs
-        if true_bs < gen_nominal:
-            from grit_tpu.parallel.mesh import pad_to_multiple
-
-            samples = pad_to_multiple(samples, gen_nominal)
+        samples = pad_gen(samples, int(jax.tree.leaves(samples)[0].shape[0]))
         if mesh is not None:
             samples = shard_batch(samples, mesh)
         bs = int(jax.tree.leaves(samples)[0].shape[0])  # padded size for the jitted search
@@ -259,18 +251,10 @@ def train_sc_epoch(
 
     barrier("sc_val_start")
     val_running, vn = 0.0, 0
-    val_nominal = None
+    pad_val = ragged_padder(int_fill=pad_idx, int_first=bos_idx)
     for batch in dataloaders["valid"]:
         b = {"samples": batch["samples"], "captions": batch["captions"]}
-        # ragged-tail padding: see train_xe_epoch's val loop (bit-unchanged
-        # per-token loss; avoids a tail-shape recompile + Gloo skew)
-        bs = int(np.asarray(b["captions"]).shape[0])
-        if val_nominal is None:
-            val_nominal = bs
-        if bs < val_nominal:
-            from grit_tpu.parallel.mesh import pad_to_multiple
-
-            b = pad_to_multiple(b, val_nominal, int_fill=pad_idx, int_first=bos_idx)
+        b = pad_val(b, int(np.asarray(b["captions"]).shape[0]))
         if mesh is not None:
             b = shard_batch(b, mesh, int_fill=pad_idx, int_first=bos_idx)
         if vn == 0:
