@@ -61,6 +61,71 @@ class TestDryrunMultichip:
 
         __graft_entry__.dryrun_multichip(8)
 
+    def test_detector_train_step_dp8_matches_single_device(self):
+        """Detector pre-training — the reference's LARGEST distributed
+        deployment (8x8=64-way DDP, configs/detection/train_config.yaml:5-6)
+        — on a dp8 mesh: one full step (forward + device Hungarian + losses
+        + backward + clip + 2-group Adam) must produce the same loss and
+        grad norm as the identical step on one device."""
+        from grit_tpu.detection.detector import DetectionDetector
+        from grit_tpu.detection.losses import SetCriterion
+        from grit_tpu.detection.solver import make_detector_train_step
+        from grit_tpu.engine.optim import build_optimizer
+        from grit_tpu.engine.xe import TrainState
+        from grit_tpu.models.det_module import DetectionModule
+        from grit_tpu.models.swin import SwinTransformer
+        from grit_tpu.utils.nested import ImageBatch
+
+        backbone = SwinTransformer(
+            embed_dim=16, depths=(1, 1), num_heads=(2, 2), window=4,
+            drop_path_rate=0.0, pos_dim=32,
+        )
+        det = DetectionModule(
+            d_model=32, n_heads=4, num_layers=2, dim_feedforward=64,
+            num_levels=2, num_points=2, num_classes=8, num_queries=5,
+            name="det_module",
+        )
+        model = DetectionDetector(
+            backbone=backbone, det_module=det, hidden_dim=32,
+            num_od_classes=8,
+        )
+        crit = SetCriterion(num_classes=8, match_impl="host")
+        b = 8
+        rs = np.random.RandomState(3)
+        imgs = ImageBatch(
+            jnp.asarray(rs.rand(b, 32, 32, 3), jnp.float32),
+            jnp.zeros((b, 32, 32), bool),
+        )
+        targets = {
+            "labels": jnp.asarray(rs.randint(0, 8, (b, 3)), jnp.int32),
+            "boxes": jnp.clip(jnp.asarray(rs.rand(b, 3, 4), jnp.float32), 0.1, 0.4),
+            "valid": jnp.asarray(rs.rand(b, 3) < 0.7),
+        }
+        params = model.init(jax.random.PRNGKey(0), imgs, training=True)
+        tx, labels = build_optimizer(params, weight_decay=1e-4)
+        step = make_detector_train_step(
+            model, crit, tx, labels, lr=1e-4, lr_backbone=1e-5,
+            clip_max_norm=0.1,
+        )
+        rng = jax.random.PRNGKey(7)
+
+        # the train step donates the state, and replicate() may alias the
+        # source buffer as one of its shards — give each state its OWN copy
+        mesh = make_mesh(n_data=8)
+        state8 = TrainState.create(replicate(params, mesh), tx)
+        imgs8 = shard_batch(imgs, mesh)
+        targets8 = shard_batch(targets, mesh)
+        params1 = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        state1 = TrainState.create(params1, tx)
+        _, m_single = step(state1, imgs, targets, jnp.float32(1.0), rng)
+        with mesh:
+            _, m_mesh = step(state8, imgs8, targets8, jnp.float32(1.0), rng)
+
+        np.testing.assert_allclose(
+            float(m_mesh["loss"]), float(m_single["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_mesh["grad_norm"]), float(m_single["grad_norm"]), rtol=1e-5)
+
     def test_entry_signature(self):
         import __graft_entry__
 
