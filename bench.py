@@ -27,7 +27,11 @@ def main():
     import jax
 
     # persistent compile cache: repeat bench runs skip the ~10 min compile
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    # (keyed by host CPU signature — stale cross-host entries can SIGILL)
+    from grit_tpu.utils.misc import _host_cache_tag
+
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/jax_bench_cache_{_host_cache_tag()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
