@@ -24,6 +24,28 @@ A100_BASELINE_IPS = 20.0
 
 
 def main():
+    # fail FAST if the device backend is unreachable: initializing the axon
+    # backend while the tunnel is down hangs indefinitely (the same failure
+    # dryrun_multichip had) — probe it in a subprocess with a hard timeout
+    # and emit an error JSON instead of eating the caller's whole timeout.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, timeout=180,
+        )
+        probe_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+    if not probe_ok:
+        print(json.dumps({
+            "metric": "caption_throughput", "value": None,
+            "unit": "images/sec/chip", "vs_baseline": None,
+            "error": "device backend unreachable (probe failed within 180s)",
+        }))
+        sys.exit(1)
+
     import jax
 
     # persistent compile cache: repeat bench runs skip the ~10 min compile
