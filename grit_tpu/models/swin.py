@@ -78,6 +78,7 @@ class _DenseParams(nn.Module):
 
     features: int
     in_features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
@@ -85,6 +86,8 @@ class _DenseParams(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (self.in_features, self.features),
         )
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
 
@@ -95,6 +98,9 @@ class _DenseParams(nn.Module):
 # the whole-block kernel.  Kills the standalone LN's f32 convert/reduce
 # passes per block.  Off pending a chip A/B (tools/bench_train.py).
 _TRAIN_STEP_KERNEL = os.environ.get("GRIT_TRAIN_STEP_KERNEL", "0") == "1"
+# PatchMerging LN(4C) + reduction matmul in one VMEM pass (the stage-exit
+# convert_reduce/copy chains, ~6-10 ms at b128 eval).  Off pending chip A/B.
+_FUSED_MERGE = os.environ.get("GRIT_FUSED_MERGE", "0") == "1"
 
 
 class _LayerNormParams(nn.Module):
@@ -457,6 +463,7 @@ class PatchMerging(nn.Module):
 
     dim: int
     out_dim: int
+    fused: bool = False  # LN+reduction in one kernel (set by BasicLayer)
     dtype: Any = None
 
     @nn.compact
@@ -472,6 +479,15 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = x.reshape(b, -1, 4 * c)
+        if self.fused and _FUSED_MERGE:
+            from grit_tpu.ops.window_attention import fused_ln_linear
+
+            lns, lnb = _LayerNormParams(4 * c, name="norm")()
+            w_red, _ = _DenseParams(
+                self.out_dim, 4 * c, use_bias=False, name="reduction")()
+            if self.dtype is not None:
+                w_red = w_red.astype(self.dtype)
+            return fused_ln_linear(x, lns, lnb, w_red, eps=LN_EPS)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction", dtype=self.dtype)(x)
 
@@ -546,7 +562,10 @@ class BasicLayer(nn.Module):
             if rollfree and storage:
                 x = jnp.roll(x, shift=(storage, storage), axis=(1, 2))
             x = x[:, :h, :w].reshape(b, h * w, c)
-        x_down = PatchMerging(self.dim, self.out_dim, dtype=self.dtype, name="downsample")(x, hw)
+        x_down = PatchMerging(
+            self.dim, self.out_dim, fused=self.fused_attn, dtype=self.dtype,
+            name="downsample",
+        )(x, hw)
         return x, x_down, ((h + 1) // 2, (w + 1) // 2)
 
 

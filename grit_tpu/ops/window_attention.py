@@ -1610,3 +1610,98 @@ def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-5, residual=True):
     out = _mlp(x.reshape(bsz * L, c), ln_scale, ln_bias, w1, b1, w2, b2,
                eps, residual)
     return out.reshape(bsz, L, c)
+
+
+# ---------------------------------------------------------------------------
+# Fused LN + Linear (PatchMerging's norm -> reduction): one VMEM pass over
+# the merged rows instead of an f32 LN materialization followed by a
+# separate matmul (the stage-exit convert_reduce/copy chains in the b128
+# eval trace).  Same LN semantics as _mlp_kernel (f32 stats, fast variance).
+# ---------------------------------------------------------------------------
+
+
+def _lnlin_kernel(x_ref, lns_ref, lnb_ref, w_ref, out_ref, *, eps):
+    xf = x_ref[...].astype(jnp.float32)  # [R, Cin]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * lns_ref[0][None, :] + lnb_ref[0][None, :]).astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        xn, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+def _lnlin_forward(x2, lns, lnb, w, eps):
+    rows, cin = x2.shape
+    cout = w.shape[1]
+    r = 512
+    while rows % r:
+        r //= 2
+
+    x_spec = pl.BlockSpec((r, cin), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((r, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def const2(a):
+        a2 = a[None] if a.ndim == 1 else a
+        return a2, pl.BlockSpec(a2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    lns2, lns_spec = const2(lns)
+    lnb2, lnb_spec = const2(lnb)
+    w_spec = pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_lnlin_kernel, eps=eps),
+        grid=(rows // r,),
+        in_specs=[x_spec, lns_spec, lnb_spec, w_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, cout), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * cin * cout,
+            bytes_accessed=rows * (cin + cout) * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x2, lns2, lnb2, w)
+
+
+def _lnlin_ref2(x2, lns, lnb, w, eps):
+    """jnp mirror of ``_lnlin_kernel`` — the backward's recompute target."""
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * lns[None, :] + lnb[None, :]).astype(x2.dtype)
+    y = jax.lax.dot_general(
+        xn, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    return y.astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _lnlin(x2, lns, lnb, w, eps):
+    return _lnlin_forward(x2, lns, lnb, w, eps)
+
+
+def _lnlin_fwd(x2, lns, lnb, w, eps):
+    return _lnlin_forward(x2, lns, lnb, w, eps), (x2, lns, lnb, w)
+
+
+def _lnlin_bwd(eps, res, dy):
+    _, vjp = jax.vjp(lambda *a: _lnlin_ref2(*a, eps), *res)
+    return vjp(dy)
+
+
+_lnlin.defvjp(_lnlin_fwd, _lnlin_bwd)
+
+
+def fused_ln_linear(x, ln_scale, ln_bias, w, *, eps=1e-5):
+    """x: [B, L, Cin] -> Linear(LN(x)) [B, L, Cout], no bias, one VMEM pass.
+
+    Covers PatchMerging's norm -> reduction pair (swin_model.py PatchMerging)
+    without materializing the f32-normalized [B, L, 4C] rows in HBM.
+    Differentiable (recompute backward, like fused_mlp).
+    """
+    bsz, L, cin = x.shape
+    out = _lnlin(x.reshape(bsz * L, cin), ln_scale, ln_bias, w, eps)
+    return out.reshape(bsz, L, w.shape[1])

@@ -496,6 +496,62 @@ def test_fused_mlp_grads_match_reference(residual):
             err_msg=f"grad mismatch for {name}")
 
 
+def test_fused_ln_linear_matches_reference_and_grads():
+    """fused_ln_linear (PatchMerging's norm+reduction kernel) vs
+    LayerNorm -> no-bias Dense, outputs and all grads."""
+    cin, cout, rows = 32, 16, 24
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    x = jax.random.normal(ks[0], (2, rows // 2, cin))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (cin,))
+    lnb = 0.1 * jax.random.normal(ks[2], (cin,))
+    w = jax.random.normal(ks[3], (cin, cout)) * 0.1
+
+    def ref(x_, lns_, lnb_, w_):
+        mu = jnp.mean(x_, axis=-1, keepdims=True)
+        var = jnp.var(x_, axis=-1, keepdims=True)
+        xn = (x_ - mu) * jax.lax.rsqrt(var + 1e-5) * lns_ + lnb_
+        return xn @ w_
+
+    def fused(*a):
+        return wa.fused_ln_linear(*a, eps=1e-5)
+
+    args = (x, lns, lnb, w)
+    with _interp_patch():
+        out_f = fused(*args)
+        g_f = jax.grad(lambda *a: jnp.sum(fused(*a) ** 2),
+                       argnums=tuple(range(4)))(*args)
+    out_r = ref(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2),
+                   argnums=tuple(range(4)))(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+    for name, gf, gr in zip(["x", "lns", "lnb", "w"], g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_fused_patch_merging_e2e_parity(monkeypatch):
+    """Swin with GRIT_FUSED_MERGE on (fused PatchMerging kernels at every
+    stage exit) vs the plain path."""
+    import grit_tpu.models.swin as swin_mod
+    from grit_tpu.models.swin import SwinTransformer
+
+    monkeypatch.setattr(swin_mod, "_FUSED_MERGE", True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 56, 3))
+    mk = dict(embed_dim=8, depths=(2, 2), num_heads=(2, 2), window=4,
+              drop_path_rate=0.0, pos_dim=16)
+    m_off = SwinTransformer(**mk, fused_attn=False)
+    params = m_off.init(jax.random.PRNGKey(1), x)
+    outs_off = m_off.apply(params, x)
+    m_on = SwinTransformer(**mk, fused_attn=True)
+    with _interp_patch():
+        outs_on = m_on.apply(params, x)
+    for a, b_ in zip(outs_on, outs_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fast_gelu_rational_accuracy():
     """The bf16-path rational GELU vs exact erf GELU: max abs error must
     stay ~3 orders below bf16 output resolution, clamp tails included."""
