@@ -621,7 +621,16 @@ class SwinTransformer(nn.Module):
         )(images)
         wh, ww = x.shape[1], x.shape[2]
         x = x.reshape(b, wh * ww, self.embed_dim)
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="patch_embed_norm")(x)
+        if self.fused_attn and _FUSED_MERGE:
+            # one-pass LN kernel: no f32 copy of the whole map in HBM
+            from grit_tpu.ops.window_attention import fused_layernorm
+
+            lns, lnb = _LayerNormParams(
+                self.embed_dim, name="patch_embed_norm")()
+            x = fused_layernorm(x, lns, lnb, eps=LN_EPS)
+        else:
+            x = nn.LayerNorm(
+                epsilon=LN_EPS, dtype=self.dtype, name="patch_embed_norm")(x)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
         # pos_drop: eval mode when fs >= 2 (swin_model.py:631-632)

@@ -1705,3 +1705,73 @@ def fused_ln_linear(x, ln_scale, ln_bias, w, *, eps=1e-5):
     bsz, L, cin = x.shape
     out = _lnlin(x.reshape(bsz * L, cin), ln_scale, ln_bias, w, eps)
     return out.reshape(bsz, L, w.shape[1])
+
+
+def _ln_kernel(x_ref, lns_ref, lnb_ref, out_ref, *, eps):
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    out_ref[...] = (
+        xn * lns_ref[0][None, :] + lnb_ref[0][None, :]
+    ).astype(out_ref.dtype)
+
+
+def _ln_forward(x2, lns, lnb, eps):
+    rows, c = x2.shape
+    r = 512
+    while rows % r:
+        r //= 2
+    row_spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def const2(a):
+        a2 = a[None] if a.ndim == 1 else a
+        return a2, pl.BlockSpec(a2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    lns2, lns_spec = const2(lns)
+    lnb2, lnb_spec = const2(lnb)
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(rows // r,),
+        in_specs=[row_spec, lns_spec, lnb_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, c), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * c,
+            bytes_accessed=2 * rows * c * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x2, lns2, lnb2)
+
+
+def _ln_ref2(x2, lns, lnb, eps):
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * lns[None, :] + lnb[None, :]).astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ln(x2, lns, lnb, eps):
+    return _ln_forward(x2, lns, lnb, eps)
+
+
+def _ln_fwd(x2, lns, lnb, eps):
+    return _ln_forward(x2, lns, lnb, eps), (x2, lns, lnb)
+
+
+def _ln_bwd(eps, res, dy):
+    _, vjp = jax.vjp(lambda *a: _ln_ref2(*a, eps), *res)
+    return vjp(dy)
+
+
+_ln.defvjp(_ln_fwd, _ln_bwd)
+
+
+def fused_layernorm(x, ln_scale, ln_bias, *, eps=1e-5):
+    """LayerNorm over the last axis in one VMEM pass — no f32 copy of the
+    whole map in HBM (the patch-embed norm's convert/reduce chain, ~5 ms at
+    b128 eval).  Differentiable (recompute backward)."""
+    bsz, L, c = x.shape
+    return _ln(x.reshape(bsz * L, c), ln_scale, ln_bias, eps).reshape(bsz, L, c)

@@ -531,9 +531,40 @@ def test_fused_ln_linear_matches_reference_and_grads():
             err_msg=f"grad mismatch for {name}")
 
 
+def test_fused_layernorm_matches_reference_and_grads():
+    """fused_layernorm (the patch-embed norm kernel) vs nn-style LN."""
+    c, rows = 32, 24
+    ks = jax.random.split(jax.random.PRNGKey(6), 3)
+    x = jax.random.normal(ks[0], (2, rows // 2, c))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    lnb = 0.1 * jax.random.normal(ks[2], (c,))
+
+    def ref(x_, lns_, lnb_):
+        mu = jnp.mean(x_, axis=-1, keepdims=True)
+        var = jnp.var(x_, axis=-1, keepdims=True)
+        return (x_ - mu) * jax.lax.rsqrt(var + 1e-5) * lns_ + lnb_
+
+    def fused(*a):
+        return wa.fused_layernorm(*a, eps=1e-5)
+
+    args = (x, lns, lnb)
+    with _interp_patch():
+        out_f = fused(*args)
+        g_f = jax.grad(lambda *a: jnp.sum(fused(*a) ** 2),
+                       argnums=(0, 1, 2))(*args)
+    out_r = ref(*args)
+    g_r = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+    for name, gf, gr in zip(["x", "lns", "lnb"], g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch for {name}")
+
+
 def test_fused_patch_merging_e2e_parity(monkeypatch):
-    """Swin with GRIT_FUSED_MERGE on (fused PatchMerging kernels at every
-    stage exit) vs the plain path."""
+    """Swin with GRIT_FUSED_MERGE on (fused PatchMerging + patch-embed LN
+    kernels at every stage boundary) vs the plain path."""
     import grit_tpu.models.swin as swin_mod
     from grit_tpu.models.swin import SwinTransformer
 
