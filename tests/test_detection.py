@@ -161,6 +161,27 @@ class TestDetectionModel:
         b = np.asarray(out["pred_boxes"])
         assert ((b >= 0) & (b <= 1)).all()
 
+    def test_build_kernel_autoselection_matches_caption_path(self):
+        """build_detection_model resolves the SAME kernel defaults as the
+        caption path's build_detector (pallas MSDA + fused window attention
+        on TPU, plain elsewhere) and honors the per-run config overrides —
+        detector pre-training must not silently train on the slow paths
+        (models/detector.py:79-96)."""
+        from grit_tpu.config import default_detection_config
+        from grit_tpu.detection.detector import build_detection_model
+        from grit_tpu.models.detector import _default_msda_impl, _on_tpu
+
+        config = default_detection_config()
+        model, _ = build_detection_model(config)
+        assert model.det_module.msda_impl == _default_msda_impl()
+        assert model.backbone.fused_attn == _on_tpu()
+
+        config = default_detection_config().apply_overrides(
+            ["model.msda_impl=reference", "model.fused_win_attn=false"])
+        model, _ = build_detection_model(config)
+        assert model.det_module.msda_impl == "reference"
+        assert model.backbone.fused_attn is False
+
 
 class TestAuxHelpers:
     def test_masks_to_boxes(self):
