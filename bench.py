@@ -30,31 +30,32 @@ def main():
     # and emit an error JSON instead of eating the caller's whole timeout.
     import subprocess
 
+    probe_err = None
     try:
         probe = subprocess.run(
             [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
             capture_output=True, timeout=180,
         )
-        probe_ok = probe.returncode == 0
+        if probe.returncode != 0:
+            tail = probe.stderr.decode(errors="replace").strip().splitlines()
+            probe_err = "device probe exited %d: %s" % (
+                probe.returncode, " | ".join(tail[-3:]) or "<no stderr>")
     except subprocess.TimeoutExpired:
-        probe_ok = False
-    if not probe_ok:
+        probe_err = "device backend unreachable (probe timed out after 180s)"
+    if probe_err is not None:
         print(json.dumps({
             "metric": "caption_throughput", "value": None,
             "unit": "images/sec/chip", "vs_baseline": None,
-            "error": "device backend unreachable (probe failed within 180s)",
+            "error": probe_err,
         }))
         sys.exit(1)
 
     import jax
 
     # persistent compile cache: repeat bench runs skip the ~10 min compile
-    # (keyed by host CPU signature — stale cross-host entries can SIGILL)
-    from grit_tpu.utils.misc import _host_cache_tag
+    from grit_tpu.utils.misc import enable_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir", f"/tmp/jax_bench_cache_{_host_cache_tag()}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    enable_compile_cache("/tmp/jax_bench_cache")
     import jax.numpy as jnp
 
     from grit_tpu.config import default_caption_config

@@ -91,7 +91,7 @@ def build_detection_model(config, dtype=None):
     from grit_tpu.detection.losses import SetCriterion
 
     det_cfg = config.model.detector
-    from grit_tpu.models.detector import _default_msda_impl, _on_tpu
+    from grit_tpu.models.detector import resolve_kernel_config
     from grit_tpu.models.swin import build_swin
 
     # same kernel auto-selection as the caption path (models/detector.py):
@@ -99,10 +99,10 @@ def build_detection_model(config, dtype=None):
     # elsewhere; both overridable per-run (model.fused_win_attn /
     # model.msda_impl — see docs/FLAGS.md).  Both kernel families are
     # differentiable, so pre-training gets them too.
-    fused = config.model.get("fused_win_attn", "")
+    fused_attn, msda_impl = resolve_kernel_config(config)
     backbone = build_swin(
         config.model.get("backbone", "swin_base_win7_384_22k"), dtype=dtype,
-        fused_attn=bool(fused) if fused != "" else _on_tpu(),
+        fused_attn=fused_attn,
         use_checkpoint=bool(config.model.get("use_checkpoint", False)),
     )
     det_module = DetectionModule(
@@ -116,7 +116,7 @@ def build_detection_model(config, dtype=None):
         num_classes=det_cfg.num_classes,
         num_queries=det_cfg.num_queries,
         with_box_refine=det_cfg.with_box_refine,
-        msda_impl=config.model.get("msda_impl") or _default_msda_impl(),
+        msda_impl=msda_impl,
         dtype=dtype,
         name="det_module",
     )

@@ -83,17 +83,51 @@ def _default_msda_impl() -> str:
     return "pallas" if _on_tpu() else "flat"
 
 
+def resolve_kernel_config(config) -> tuple[bool, str]:
+    """Resolve the TPU-kernel knobs shared by the caption and detection
+    builders: ``(fused_attn, msda_impl)``.
+
+    One place on purpose: the two build paths drifted once (detector
+    pre-training silently trained on the slow paths until commit 59f2b6f),
+    so any new kernel knob must be resolved here and picked up by both.
+
+    ``model.fused_win_attn`` accepts JSON booleans plus the usual CLI
+    spellings (``true/false``, ``on/off``, ``yes/no``, ``1/0``, any case);
+    empty string means auto (fused kernels on TPU).  A typo raises instead
+    of silently force-enabling the kernels — ``bool("off")`` is True, and
+    on a non-TPU host that "enable" crashes at first forward when the
+    Mosaic kernels fail to lower.
+    """
+    fused = config.model.get("fused_win_attn", "")
+    if isinstance(fused, str):
+        s = fused.strip().lower()
+        if s == "":
+            fused_attn = _on_tpu()
+        elif s in ("1", "true", "yes", "on"):
+            fused_attn = True
+        elif s in ("0", "false", "no", "off"):
+            fused_attn = False
+        else:
+            raise ValueError(
+                f"model.fused_win_attn={fused!r}: expected true/false "
+                "(or empty for backend auto-selection)"
+            )
+    else:
+        fused_attn = bool(fused)
+    return fused_attn, config.model.get("msda_impl") or _default_msda_impl()
+
+
 def build_detector(config, dtype=None) -> Detector:
     """Assemble backbone + det module from a caption config (detector.py:65-84)."""
     from grit_tpu.models.swin import build_swin
 
-    fused = config.model.get("fused_win_attn", "")
+    fused_attn, msda_impl = resolve_kernel_config(config)
     backbone = build_swin(
         config.model.get("backbone", "swin_base_win7_384_22k"),
         dtype=dtype,
         use_checkpoint=bool(config.model.get("use_checkpoint", False)),
         # "" = auto: the fused VMEM-resident attention kernel on TPU
-        fused_attn=bool(fused) if fused != "" else _on_tpu(),
+        fused_attn=fused_attn,
         # coco_config.yaml:29 (=2): patch embed + stage 0 frozen during
         # finetune (swin_model.py:622-637); optimizer-side mask in
         # engine/optim.py::swin_frozen_stages_predicate matches this
@@ -113,7 +147,7 @@ def build_detector(config, dtype=None) -> Detector:
             num_classes=det_cfg.num_classes,
             num_queries=det_cfg.num_queries,
             with_box_refine=det_cfg.with_box_refine,
-            msda_impl=config.model.get("msda_impl") or _default_msda_impl(),
+            msda_impl=msda_impl,
             dtype=dtype,
             name="det_module",
         )

@@ -1501,10 +1501,7 @@ def _gelu(h, out_dtype):
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 out_ref, *, eps, residual):
     xf = x_ref[...].astype(jnp.float32)  # [R, C]
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu  # fast variance
-    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-    xn = (xn * lns_ref[0][None, :] + lnb_ref[0][None, :]).astype(x_ref.dtype)
+    xn = _ln_rows(x_ref[...], lns_ref[0], lnb_ref[0], eps)
     h = jax.lax.dot_general(
         xn, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -1519,23 +1516,44 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[...] = y.astype(out_ref.dtype)
 
 
+def _const2(a):
+    """Promote a 1-D parameter to 2-D with a whole-array VMEM BlockSpec
+    (TPU vector constants must be >=2-D); shared by the row-fused kernels."""
+    a2 = a[None] if a.ndim == 1 else a
+    return a2, pl.BlockSpec(a2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _pick_row_block(rows: int, max_r: int = 512) -> int:
+    """Largest power-of-two row block <= max_r that divides ``rows``."""
+    r = max_r
+    while rows % r:
+        r //= 2
+    return r
+
+
+def _ln_rows(x2, lns, lnb, eps):
+    """f32-stats fast-variance LayerNorm over rows, result in ``x2.dtype``.
+    THE definition of the fused kernels' LN semantics — the kernel bodies
+    and their recompute-backward jnp mirrors all call here, so the math
+    cannot drift between a kernel and its backward."""
+    xf = x2.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * lns[None, :] + lnb[None, :]).astype(x2.dtype)
+
+
 def _mlp_forward(x2, lns, lnb, w1, b1, w2, b2, eps, residual):
     rows, c = x2.shape
     hid = w1.shape[1]
-    r = 512
-    while rows % r:
-        r //= 2
+    r = _pick_row_block(rows)
 
     row_spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    def const2(a):
-        a2 = a[None] if a.ndim == 1 else a
-        return a2, pl.BlockSpec(a2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    lns2, lns_spec = const2(lns)
-    lnb2, lnb_spec = const2(lnb)
-    b1_2, b1_spec = const2(b1)
-    b2_2, b2_spec = const2(b2)
+    lns2, lns_spec = _const2(lns)
+    lnb2, lnb_spec = _const2(lnb)
+    b1_2, b1_spec = _const2(b1)
+    b2_2, b2_spec = _const2(b2)
     w1_spec = pl.BlockSpec(w1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     w2_spec = pl.BlockSpec(w2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
@@ -1560,10 +1578,7 @@ def _mlp_ref2(x2, lns, lnb, w1, b1, w2, b2, eps, residual):
     forward ran the rational GELU, the value/derivative mismatch is
     <=2.4e-5 absolute — far below bf16 gradient noise."""
     xf = x2.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-    xn = (xn * lns[None, :] + lnb[None, :]).astype(x2.dtype)
+    xn = _ln_rows(x2, lns, lnb, eps)
     h = jax.lax.dot_general(
         xn, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ) + b1[None, :]
@@ -1621,11 +1636,7 @@ def fused_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps=1e-5, residual=True):
 
 
 def _lnlin_kernel(x_ref, lns_ref, lnb_ref, w_ref, out_ref, *, eps):
-    xf = x_ref[...].astype(jnp.float32)  # [R, Cin]
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-    xn = (xn * lns_ref[0][None, :] + lnb_ref[0][None, :]).astype(x_ref.dtype)
+    xn = _ln_rows(x_ref[...], lns_ref[0], lnb_ref[0], eps)
     y = jax.lax.dot_general(
         xn, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -1636,19 +1647,13 @@ def _lnlin_kernel(x_ref, lns_ref, lnb_ref, w_ref, out_ref, *, eps):
 def _lnlin_forward(x2, lns, lnb, w, eps):
     rows, cin = x2.shape
     cout = w.shape[1]
-    r = 512
-    while rows % r:
-        r //= 2
+    r = _pick_row_block(rows)
 
     x_spec = pl.BlockSpec((r, cin), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((r, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    def const2(a):
-        a2 = a[None] if a.ndim == 1 else a
-        return a2, pl.BlockSpec(a2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    lns2, lns_spec = const2(lns)
-    lnb2, lnb_spec = const2(lnb)
+    lns2, lns_spec = _const2(lns)
+    lnb2, lnb_spec = _const2(lnb)
     w_spec = pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
@@ -1667,11 +1672,7 @@ def _lnlin_forward(x2, lns, lnb, w, eps):
 
 def _lnlin_ref2(x2, lns, lnb, w, eps):
     """jnp mirror of ``_lnlin_kernel`` — the backward's recompute target."""
-    xf = x2.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-    xn = (xn * lns[None, :] + lnb[None, :]).astype(x2.dtype)
+    xn = _ln_rows(x2, lns, lnb, eps)
     y = jax.lax.dot_general(
         xn, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
@@ -1708,28 +1709,18 @@ def fused_ln_linear(x, ln_scale, ln_bias, w, *, eps=1e-5):
 
 
 def _ln_kernel(x_ref, lns_ref, lnb_ref, out_ref, *, eps):
-    xf = x_ref[...].astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-    out_ref[...] = (
-        xn * lns_ref[0][None, :] + lnb_ref[0][None, :]
-    ).astype(out_ref.dtype)
+    out_ref[...] = _ln_rows(x_ref[...], lns_ref[0], lnb_ref[0], eps).astype(
+        out_ref.dtype
+    )
 
 
 def _ln_forward(x2, lns, lnb, eps):
     rows, c = x2.shape
-    r = 512
-    while rows % r:
-        r //= 2
+    r = _pick_row_block(rows)
     row_spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    def const2(a):
-        a2 = a[None] if a.ndim == 1 else a
-        return a2, pl.BlockSpec(a2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    lns2, lns_spec = const2(lns)
-    lnb2, lnb_spec = const2(lnb)
+    lns2, lns_spec = _const2(lns)
+    lnb2, lnb_spec = _const2(lnb)
     return pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
         grid=(rows // r,),
@@ -1745,11 +1736,7 @@ def _ln_forward(x2, lns, lnb, eps):
 
 
 def _ln_ref2(x2, lns, lnb, eps):
-    xf = x2.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (xn * lns[None, :] + lnb[None, :]).astype(x2.dtype)
+    return _ln_rows(x2, lns, lnb, eps)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -116,16 +116,26 @@ def _host_cache_tag() -> str:
     return hashlib.sha1(sig.encode()).hexdigest()[:8]
 
 
-def enable_compile_cache(path: str = "/tmp/jax_grit_cache") -> None:
+def enable_compile_cache(
+    path: str = "/tmp/jax_grit_cache", min_compile_secs: float = 5.0
+) -> None:
     """Persistent XLA compile cache — full-size graphs take ~10 min to build;
-    the second run of any CLI should not pay that again."""
+    the second run of any CLI should not pay that again.
+
+    The directory is keyed by the host CPU signature: XLA:CPU AOT results
+    bake in the compile machine's features, and a container migration would
+    otherwise serve stale executables (SIGILL).  The single place for this
+    keying — bench.py and tests/conftest.py call here too.
+    """
     import jax
 
     try:
         jax.config.update(
             "jax_compilation_cache_dir", f"{path}-{_host_cache_tag()}"
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
     except Exception:
         pass
 

@@ -23,15 +23,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache makes repeated suite runs cheap; keyed by the
-# host CPU signature — XLA:CPU AOT results bake in the compile machine's
-# features, and a container migration would otherwise serve stale
-# executables (SIGILL / "machine type doesn't match" warnings)
-from grit_tpu.utils.misc import _host_cache_tag  # noqa: E402
+# persistent compile cache makes repeated suite runs cheap (host-CPU-keyed
+# inside enable_compile_cache — stale cross-host AOT entries can SIGILL)
+from grit_tpu.utils.misc import enable_compile_cache  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_host_cache_tag()}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_compile_cache("/tmp/jax_test_cache", min_compile_secs=1.0)
 
 import pytest  # noqa: E402
 

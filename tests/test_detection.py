@@ -182,6 +182,30 @@ class TestDetectionModel:
         assert model.det_module.msda_impl == "reference"
         assert model.backbone.fused_attn is False
 
+    def test_fused_win_attn_override_spellings(self):
+        """CLI spellings that don't json-parse ("False", "off") must still
+        DISABLE the kernels — bool("off") is True, and that silent
+        force-enable crashes non-TPU hosts at first forward; garbage
+        raises instead of guessing."""
+        import pytest
+
+        from grit_tpu.config import default_detection_config
+        from grit_tpu.models.detector import resolve_kernel_config
+
+        for spelling, want in [
+            ("False", False), ("off", False), ("NO", False), ("0", False),
+            ("True", True), ("on", True), ("YES", True), ("1", True),
+        ]:
+            config = default_detection_config().apply_overrides(
+                [f"model.fused_win_attn={spelling}"])
+            fused, _ = resolve_kernel_config(config)
+            assert fused is want, (spelling, fused)
+
+        config = default_detection_config().apply_overrides(
+            ["model.fused_win_attn=maybe"])
+        with pytest.raises(ValueError, match="fused_win_attn"):
+            resolve_kernel_config(config)
+
 
 class TestAuxHelpers:
     def test_masks_to_boxes(self):
