@@ -136,6 +136,9 @@ def build_detection_model(config, dtype=None):
         cost_class=loss_cfg.set_cost_class,
         cost_bbox=loss_cfg.set_cost_bbox,
         cost_giou=loss_cfg.set_cost_giou,
+        # "auto" = device solver on TPU (batched across decoder levels),
+        # scipy host callback on CPU; override for A/Bs (docs/FLAGS.md)
+        match_impl=loss_cfg.get("match_impl", "auto"),
         weight_dict={
             "loss_ce": loss_cfg.cls_loss_coef,
             "loss_bbox": loss_cfg.bbox_loss_coef,

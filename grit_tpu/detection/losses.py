@@ -169,6 +169,16 @@ def _device_lsa_single(cost: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.arange(g) < n_valid, assign, -1)
 
 
+def _resolve_impl(impl: str) -> str:
+    """'auto' -> the backend's solver: the axon TPU backend has no host
+    callbacks; everywhere else the device solver still wins by removing the
+    per-step host sync, but keep scipy on CPU where the callback is free
+    and the host solver is faster than trace-heavy while loops."""
+    if impl == "auto":
+        return "host" if jax.default_backend() == "cpu" else "device"
+    return impl
+
+
 def hungarian_match(
     pred_logits: jnp.ndarray,   # [B, Q, C]
     pred_boxes: jnp.ndarray,    # [B, Q, 4] cxcywh
@@ -209,12 +219,7 @@ def hungarian_match(
 
     n_valid = tgt_valid.sum(-1).astype(jnp.int32)
     b, _, g = cost.shape
-    if impl == "auto":
-        # the axon TPU backend has no host callbacks; everywhere else the
-        # device solver still wins by removing the per-step host sync, but
-        # keep scipy on CPU where the callback is free and the host solver
-        # is faster than trace-heavy while loops
-        impl = "host" if jax.default_backend() == "cpu" else "device"
+    impl = _resolve_impl(impl)
     if impl == "device":
         assign = jax.vmap(_device_lsa_single)(cost, n_valid)
     else:
@@ -251,12 +256,14 @@ class SetCriterion:
             "loss_ce": 2.0, "loss_bbox": 5.0, "loss_giou": 2.0, "loss_attr": 1.0,
         }
 
-    def _single_level(self, pred_logits, pred_boxes, targets, num_boxes):
-        assign = hungarian_match(
-            pred_logits, pred_boxes,
-            targets["labels"], targets["boxes"], targets["valid"],
-            **self.cost,
-        )  # [B, G]
+    def _single_level(self, pred_logits, pred_boxes, targets, num_boxes,
+                      assign=None):
+        if assign is None:
+            assign = hungarian_match(
+                pred_logits, pred_boxes,
+                targets["labels"], targets["boxes"], targets["valid"],
+                **self.cost,
+            )  # [B, G]
         b, q, c = pred_logits.shape
         g = assign.shape[1]
         matched = assign >= 0
@@ -328,14 +335,47 @@ class SetCriterion:
         ``total_loss`` applies the weight dict.
         """
         num_boxes = jnp.maximum(targets["valid"].sum().astype(jnp.float32), 1.0)
+        aux = outputs.get("aux_outputs", [])
+
+        # DEVICE solver: ONE batched Hungarian solve for all decoder levels
+        # (final + aux) — the levels stack into the batch axis so a single
+        # vmapped while-loop runs L*B tiny LAPs instead of L sequential ones
+        # (each a full Dijkstra latency chain — the aux losses made matching
+        # 7x slower than it needed to be, and XLA compiled 7 copies of the
+        # solver).  Costs are per-row, so the stacked assigns are
+        # bit-identical to per-level calls.
+        # HOST solver: keep per-level callbacks.  Feeding the level-concat
+        # through pure_callback inside the SPMD program stalls a device
+        # thread on the input resharding long enough to trip XLA:CPU's
+        # hardcoded 40s collective-rendezvous deadline (deterministic crash
+        # in the dp8 synthetic drive); per-level callbacks are what round 2
+        # shipped and stay load-stable.
+        assigns = [None] * (1 + len(aux))
+        if _resolve_impl(self.cost["impl"]) == "device":
+            levels = [(outputs["pred_logits"], outputs["pred_boxes"])]
+            levels += [(a["pred_logits"], a["pred_boxes"]) for a in aux]
+            n_lvl = len(levels)
+            b = outputs["pred_logits"].shape[0]
+            assign_all = hungarian_match(
+                jnp.concatenate([lg for lg, _ in levels], axis=0),
+                jnp.concatenate([bx for _, bx in levels], axis=0),
+                jnp.tile(targets["labels"], (n_lvl, 1)),
+                jnp.tile(targets["boxes"], (n_lvl, 1, 1)),
+                jnp.tile(targets["valid"], (n_lvl, 1)),
+                **self.cost,
+            )  # [L*B, G]
+            assigns = [assign_all[i * b:(i + 1) * b] for i in range(n_lvl)]
+
         losses, assign = self._single_level(
-            outputs["pred_logits"], outputs["pred_boxes"], targets, num_boxes
+            outputs["pred_logits"], outputs["pred_boxes"], targets, num_boxes,
+            assign=assigns[0],
         )
         if "attr_logits" in outputs and "attributes" in targets:
             losses.update(self.attribute_loss(outputs["attr_logits"], targets, assign))
-        for i, aux in enumerate(outputs.get("aux_outputs", [])):
+        for i, aux_out in enumerate(aux):
             aux_losses, _ = self._single_level(
-                aux["pred_logits"], aux["pred_boxes"], targets, num_boxes
+                aux_out["pred_logits"], aux_out["pred_boxes"], targets, num_boxes,
+                assign=assigns[i + 1],
             )
             losses.update({f"{k}_{i}": v for k, v in aux_losses.items()
                            if not k.endswith("_error")})  # logging keys: last layer only

@@ -64,6 +64,43 @@ class TestCriterion:
         assert np.isfinite(np.asarray(g_b)).all()
         assert np.abs(np.asarray(g_b)).sum() > 0
 
+    def test_batched_level_matching_equals_per_level(self):
+        """With the device solver, __call__ stacks final+aux levels into ONE
+        hungarian_match; the losses must be bit-identical to matching each
+        level separately (the per-level _single_level path, which is also
+        what the host-callback solver still runs)."""
+        crit = SetCriterion(num_classes=8, match_impl="device")
+        key = jax.random.PRNGKey(7)
+        b, q, g = 3, 10, 4
+        ks = jax.random.split(key, 8)
+        targets = {
+            "labels": jax.random.randint(ks[0], (b, g), 0, 8),
+            "boxes": jnp.clip(jax.random.uniform(ks[1], (b, g, 4)), 0.05, 0.45),
+            "valid": jnp.asarray([[True] * 4, [True, True, False, False],
+                                  [True, False, False, False]]),
+        }
+        mk = lambda k1, k2: {
+            "pred_logits": jax.random.normal(k1, (b, q, 8)),
+            "pred_boxes": jax.nn.sigmoid(jax.random.normal(k2, (b, q, 4))),
+        }
+        outputs = mk(ks[2], ks[3])
+        outputs["aux_outputs"] = [mk(ks[4], ks[5]), mk(ks[6], ks[7])]
+
+        got = crit(outputs, targets)
+
+        num_boxes = jnp.maximum(targets["valid"].sum().astype(jnp.float32), 1.0)
+        want, _ = crit._single_level(
+            outputs["pred_logits"], outputs["pred_boxes"], targets, num_boxes)
+        for i, aux in enumerate(outputs["aux_outputs"]):
+            aux_l, _ = crit._single_level(
+                aux["pred_logits"], aux["pred_boxes"], targets, num_boxes)
+            want.update({f"{k}_{i}": v for k, v in aux_l.items()
+                         if not k.endswith("_error")})
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+
     def test_perfect_prediction_low_box_loss(self):
         crit = SetCriterion(num_classes=4)
         targets = {
