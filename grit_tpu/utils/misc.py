@@ -140,6 +140,28 @@ def enable_compile_cache(
         pass
 
 
+def seed_host_rngs(seed: int, *, per_process: bool = False) -> None:
+    """Seed the HOST-side RNGs (python ``random`` + ``np.random``) that the
+    augmentation pipelines draw from (RandAugment, detection crops/flips).
+
+    Device randomness is threaded explicitly via jax PRNG keys; this covers
+    the rest, mirroring the reference's startup seeding
+    (train_caption.py:30-32 seed; train_detector.py:116-120 seed + rank —
+    ``per_process=True`` adds ``jax.process_index()`` so data-parallel
+    hosts draw distinct augmentations, as the reference's per-rank seed
+    does)."""
+    import random
+
+    import numpy as np
+
+    if per_process:
+        import jax
+
+        seed = seed + jax.process_index()
+    random.seed(seed)
+    np.random.seed(seed % (2 ** 32))
+
+
 def device_memory_mb() -> float | None:
     """Live HBM usage of device 0, if the backend exposes it."""
     try:

@@ -53,6 +53,11 @@ def main(argv=None):
     os.makedirs(workdir, exist_ok=True)
 
     proc_idx, proc_count = maybe_initialize()
+    # host-side aug RNGs (reference train_caption.py:30-32; per-rank like
+    # its DataLoader workers so DP hosts draw distinct augmentations)
+    from grit_tpu.utils.misc import seed_host_rngs
+
+    seed_host_rngs(config.exp.seed, per_process=True)
     mesh = make_mesh()
     print(f"process {proc_idx}/{proc_count}, devices: {jax.device_count()}, "
           f"mesh: {dict(mesh.shape)}")

@@ -43,6 +43,10 @@ def main(argv=None):
     workdir = os.path.join("outputs", config.exp.name)
     os.makedirs(workdir, exist_ok=True)
 
+    # host-side aug RNGs, seed + rank (reference train_detector.py:116-120)
+    from grit_tpu.utils.misc import seed_host_rngs
+
+    seed_host_rngs(config.exp.seed, per_process=True)
     mesh = make_mesh()
     model, criterion = build_detection_model(config)
 
