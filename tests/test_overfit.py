@@ -89,3 +89,54 @@ def test_overfits_fixed_batch():
     mask = tgt != PAD
     acc = (pred == tgt)[mask].mean()
     assert acc > 0.95
+
+
+def test_detector_overfits_fixed_batch():
+    """Detector-pre-training analogue of the caption overfit smoke: the full
+    jitted det step (forward + Hungarian matching + focal/L1/GIoU + clip +
+    two-group Adam) must be able to memorize a tiny fixed scene — pins the
+    optimizer/matcher/loss integration the same way the reference's
+    OVERFIT_SIZE runs do (SURVEY.md section 4.2)."""
+    from grit_tpu.config import default_detection_config
+    from grit_tpu.detection.detector import build_detection_model
+    from grit_tpu.detection.solver import make_detector_train_step
+    from grit_tpu.engine.optim import build_optimizer
+    from grit_tpu.utils.nested import ImageBatch
+
+    config = default_detection_config().apply_overrides([
+        "model.backbone=swin_test", "model.d_model=64", "model.num_classes=8",
+        "model.detector.d_model=64", "model.detector.dim_feedforward=128",
+        "model.detector.num_heads=4", "model.detector.num_layers=2",
+        "model.detector.num_levels=2", "model.detector.num_points=2",
+        "model.detector.num_queries=12", "model.detector.num_classes=8",
+    ])
+    model, criterion = build_detection_model(config)
+    rng = np.random.RandomState(3)
+    b = 2
+    images = ImageBatch(
+        jnp.asarray(rng.rand(b, 128, 128, 3), np.float32),
+        jnp.zeros((b, 128, 128), bool),
+    )
+    targets = {
+        "labels": jnp.asarray(rng.randint(0, 8, (b, 4)), jnp.int32),
+        "boxes": jnp.asarray(rng.uniform(0.2, 0.6, (b, 4, 4)), jnp.float32),
+        "valid": jnp.asarray(np.tile([True, True, True, False], (b, 1))),
+    }
+    params = jax.jit(lambda k, im: model.init(k, im, training=True))(
+        jax.random.PRNGKey(0), images)
+    tx, labels = build_optimizer(params)
+    state = TrainState.create(params, tx)
+    step = make_detector_train_step(
+        model, criterion, tx, labels, lr=1e-3, lr_backbone=1e-3,
+        clip_max_norm=0.1,
+    )
+    first = None
+    for i in range(120):
+        state, metrics = step(state, images, targets,
+                              jnp.asarray(1.0), jax.random.PRNGKey(i))
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < 0.5 * first, f"no memorization: first={first:.3f} last={last:.3f}"
+    assert float(metrics["loss_bbox"]) < 0.1, float(metrics["loss_bbox"])
