@@ -301,6 +301,9 @@ def default_detection_config() -> Config:
                 "set_cost_class": 2.0,
                 "set_cost_bbox": 5.0,
                 "set_cost_giou": 2.0,
+                # Hungarian solver: "auto" = on-device batched LAP on TPU,
+                # scipy host callback on CPU (docs/FLAGS.md)
+                "match_impl": "auto",
             },
         },
         "optimizer": {

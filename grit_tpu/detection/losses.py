@@ -5,11 +5,15 @@ Math parity: reference models/detection/od_losses.py.
 TPU-first shape discipline: targets arrive as PADDED arrays
 ``{labels [B, G], boxes [B, G, 4], valid [B, G]}`` (G = max boxes per image)
 so the whole criterion jits with static shapes.  The Hungarian assignment
-runs on host via ``jax.pure_callback`` into scipy — exactly where the
-reference leaves it (scipy ``linear_sum_assignment`` on CPU per batch,
-od_losses.py:427-431); the 150 x G problem is far too small for a device.
-Invalid (padding) columns get +inf-like cost and are dropped from the
-returned assignment.
+has two solvers: ON DEVICE (the TPU default — a vectorized Jonker-Volgenant
+LAP in lax control flow, batched across all decoder levels in one vmapped
+solve; the axon backend has no host callbacks, and even where callbacks
+exist the per-step host sync loses) and HOST (``jax.pure_callback`` into
+scipy per decoder level — exactly where the reference leaves it, scipy
+``linear_sum_assignment`` on CPU per batch, od_losses.py:427-431; the CPU
+default, where the callback is free and faster than trace-heavy while
+loops).  Invalid (padding) columns get +inf-like cost and are dropped from
+the returned assignment.
 
 Losses (od_losses.py:40-65, 91-116, 118-130, 206-227):
 - classification: sigmoid focal (alpha=0.25, gamma=2) over a one-hot target
@@ -338,33 +342,36 @@ class SetCriterion:
         aux = outputs.get("aux_outputs", [])
 
         # DEVICE solver: ONE batched Hungarian solve for all decoder levels
-        # (final + aux) — the levels stack into the batch axis so a single
-        # vmapped while-loop runs L*B tiny LAPs instead of L sequential ones
+        # (final + aux) — the levels stack on a NEW leading axis and vmap
+        # composes with the per-image vmap inside hungarian_match, so a
+        # single while-loop runs L*B tiny LAPs instead of L sequential ones
         # (each a full Dijkstra latency chain — the aux losses made matching
         # 7x slower than it needed to be, and XLA compiled 7 copies of the
-        # solver).  Costs are per-row, so the stacked assigns are
-        # bit-identical to per-level calls.
-        # HOST solver: keep per-level callbacks.  Feeding the level-concat
+        # solver).  The leading axis (not a batch-axis concat) matters under
+        # a dp mesh: the sharded batch axis stays put, so GSPMD inserts no
+        # resharding.  Costs are per-row, so the stacked assigns are
+        # bit-identical to per-level calls (pinned by test).
+        # HOST solver: keep per-level callbacks.  Feeding a level-stack
         # through pure_callback inside the SPMD program stalls a device
-        # thread on the input resharding long enough to trip XLA:CPU's
+        # thread on the input gather long enough to trip XLA:CPU's
         # hardcoded 40s collective-rendezvous deadline (deterministic crash
         # in the dp8 synthetic drive); per-level callbacks are what round 2
         # shipped and stay load-stable.
         assigns = [None] * (1 + len(aux))
         if _resolve_impl(self.cost["impl"]) == "device":
-            levels = [(outputs["pred_logits"], outputs["pred_boxes"])]
-            levels += [(a["pred_logits"], a["pred_boxes"]) for a in aux]
-            n_lvl = len(levels)
-            b = outputs["pred_logits"].shape[0]
-            assign_all = hungarian_match(
-                jnp.concatenate([lg for lg, _ in levels], axis=0),
-                jnp.concatenate([bx for _, bx in levels], axis=0),
-                jnp.tile(targets["labels"], (n_lvl, 1)),
-                jnp.tile(targets["boxes"], (n_lvl, 1, 1)),
-                jnp.tile(targets["valid"], (n_lvl, 1)),
-                **self.cost,
-            )  # [L*B, G]
-            assigns = [assign_all[i * b:(i + 1) * b] for i in range(n_lvl)]
+            assign_all = jax.vmap(
+                lambda lg, bx: hungarian_match(
+                    lg, bx,
+                    targets["labels"], targets["boxes"], targets["valid"],
+                    **self.cost,
+                )
+            )(
+                jnp.stack([outputs["pred_logits"]]
+                          + [a["pred_logits"] for a in aux]),
+                jnp.stack([outputs["pred_boxes"]]
+                          + [a["pred_boxes"] for a in aux]),
+            )  # [L, B, G]
+            assigns = list(assign_all)
 
         losses, assign = self._single_level(
             outputs["pred_logits"], outputs["pred_boxes"], targets, num_boxes,

@@ -61,12 +61,15 @@ class TestDryrunMultichip:
 
         __graft_entry__.dryrun_multichip(8)
 
-    def test_detector_train_step_dp8_matches_single_device(self):
+    @pytest.mark.parametrize("match_impl", ["host", "device"])
+    def test_detector_train_step_dp8_matches_single_device(self, match_impl):
         """Detector pre-training — the reference's LARGEST distributed
         deployment (8x8=64-way DDP, configs/detection/train_config.yaml:5-6)
-        — on a dp8 mesh: one full step (forward + device Hungarian + losses
+        — on a dp8 mesh: one full step (forward + Hungarian + losses
         + backward + clip + 2-group Adam) must produce the same loss and
-        grad norm as the identical step on one device."""
+        grad norm as the identical step on one device.  match_impl="device"
+        covers the TPU default: the level-stacked batched LAP solve must
+        hold up under GSPMD sharding of the batch axis."""
         from grit_tpu.detection.detector import DetectionDetector
         from grit_tpu.detection.losses import SetCriterion
         from grit_tpu.detection.solver import make_detector_train_step
@@ -89,7 +92,7 @@ class TestDryrunMultichip:
             backbone=backbone, det_module=det, hidden_dim=32,
             num_od_classes=8,
         )
-        crit = SetCriterion(num_classes=8, match_impl="host")
+        crit = SetCriterion(num_classes=8, match_impl=match_impl)
         b = 8
         rs = np.random.RandomState(3)
         imgs = ImageBatch(
