@@ -61,8 +61,38 @@ def restore_checkpoint(workdir: str, name: str, *, template: Optional[Any] = Non
     path = _ckpt_dir(workdir, name)
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
-            return ckptr.restore(path, item=template)
+            try:
+                return ckptr.restore(path, item=template)
+            except Exception as e:
+                raise _maybe_fused_adam_hint(template, e) from e
         return ckptr.restore(path)
+
+
+def _maybe_fused_adam_hint(template: Any, err: Exception) -> Exception:
+    """Turn an Orbax tree-structure mismatch into an actionable error when
+    the likely cause is resuming under a different GRIT_FUSED_ADAM value
+    (the flat transform stores Adam moments as ONE buffer per moment, so
+    the optimizer-state layout differs from optax's per-leaf tree —
+    docs/FLAGS.md)."""
+    from grit_tpu.ops.fused_adam import FlatAdamState, fused_adam_impl
+
+    has_flat = any(
+        isinstance(node, FlatAdamState)
+        for node in jax.tree.leaves(
+            template, is_leaf=lambda x: isinstance(x, FlatAdamState)
+        )
+    )
+    msg = str(err).lower()
+    if "structure" in msg or "tree" in msg or "mismatch" in msg:
+        return RuntimeError(
+            "checkpoint restore failed on a tree-structure mismatch. "
+            f"GRIT_FUSED_ADAM is currently {fused_adam_impl()!r} (template "
+            f"{'has' if has_flat else 'does not have'} the flat Adam state); "
+            "a checkpoint must be resumed under the same GRIT_FUSED_ADAM "
+            "value it was written with (docs/FLAGS.md). "
+            f"Original error: {err}"
+        )
+    return err
 
 
 def load_params_flexible(model_params: Any, loaded: Any) -> tuple[Any, int, int]:

@@ -225,3 +225,37 @@ class TestArtemisExtractFeatures:
         with h5py.File(out) as f:
             assert f["gri_feat"].shape[0] == 3
             assert [p.decode() for p in f["paths"][:]] == paths
+
+
+class TestTrainCaptionResume:
+    def test_resume_restores_typed_opt_state_and_continues(self, data_root, capsys):
+        """exp.resume=true must restore the optimizer state through a
+        template: a templateless Orbax restore hands back plain lists/dicts
+        and optax's NamedTuple states crash (`'dict' object has no attribute
+        'mu'`) at the first post-resume step — which is exactly how this CLI
+        shipped until this test.  Run 1 trains epoch 0; run 2 resumes and
+        must actually TRAIN epoch 1 (reference train_caption.py:44 leaves
+        resume unimplemented; ours works)."""
+        import train_caption
+
+        argv = tiny_overrides(data_root) + [
+            "exp.name=vres",
+            "optimizer.freezing_xe_epochs=0",
+            "optimizer.freezing_sc_epochs=0",
+            "optimizer.finetune_sc_epochs=0",
+            "optimizer.batch_size=1",
+        ]
+        train_caption.main(argv + ["optimizer.finetune_xe_epochs=1"])
+        capsys.readouterr()
+
+        train_caption.main(argv + [
+            "optimizer.finetune_xe_epochs=2", "exp.resume=true",
+        ])
+        out = capsys.readouterr().out
+        assert "resumed from epoch 0" in out
+        assert "resume skipped" not in out
+        assert "epoch=1" in out
+        # epoch-1 rows landed in result.csv (both eval splits)
+        rows = [l for l in open("outputs/vres/result.csv")
+                if l.startswith("vres") and ", 1, " in l]
+        assert len(rows) == 2, rows

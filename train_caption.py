@@ -159,16 +159,35 @@ def main(argv=None):
     sc_started = False
     start_epoch = 0
     if config.exp.resume:
-        # full resume from 'last' (params + optimizer + scheduler tick + epoch)
-        # — the reference's caption resume is unimplemented (train_caption.py:44);
-        # here it works.
+        # full resume from 'last' (params + optimizer + scheduler tick + epoch
+        # + best CIDErs) — the reference's caption resume is unimplemented
+        # (train_caption.py:44); here it works.  The restore MUST go through
+        # a template: a templateless Orbax restore returns plain lists/dicts,
+        # and optax's NamedTuple states crash on attribute access at the
+        # first post-resume step (pinned by test_cli resume test).
         try:
-            restored = ckpt.restore_checkpoint(workdir, "last")
+            template = {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "global_steps": state.global_steps,
+                "epoch": np.asarray(0),
+                "best_ciders": np.zeros((2,), np.float32),
+            }
+            restored = ckpt.restore_checkpoint(workdir, "last", template=template)
             state = TrainState(
                 restored["params"], restored["opt_state"],
                 jnp.asarray(restored["global_steps"]),
             )
             start_epoch = int(restored["epoch"]) + 1
+            best_cider_val, best_cider_test = (
+                float(x) for x in np.asarray(restored["best_ciders"])
+            )
+            # resuming INSIDE the SC phase must not re-warm-start from
+            # best_valid (that would clobber the resumed params); only a
+            # resume at the XE->SC boundary still warm-starts.
+            sc_started = start_epoch > 0 and phase_for_epoch(
+                start_epoch - 1, config
+            ).endswith("sc")
             print(f"resumed from epoch {start_epoch - 1}")
         except Exception as e:
             print(f"resume skipped: {e}")
@@ -255,7 +274,10 @@ def main(argv=None):
                         best_cider_test = scores["CIDEr"]
 
             ckpt.save_checkpoint(workdir, phase, state=state, epoch=epoch, config=config)
-            ckpt.save_checkpoint(workdir, "last", state=state, epoch=epoch, config=config)
+            ckpt.save_checkpoint(
+                workdir, "last", state=state, epoch=epoch,
+                best_ciders=(best_cider_val, best_cider_test), config=config,
+            )
             if epoch >= 15:
                 ckpt.save_checkpoint(
                     workdir, f"epoch_{epoch}", state=state, epoch=epoch, config=config
