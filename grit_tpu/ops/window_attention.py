@@ -1003,15 +1003,17 @@ def _band_kernel(
     col_blk = jax.lax.broadcasted_iota(jnp.int32, (g * n, gd), 1) // d
     qmask = row_blk == col_blk
 
-    # band pad mask in PRE-ROLL coordinates (see _step_kernel)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+    # band pad mask in PRE-ROLL coordinates (see _step_kernel).  Iotas are
+    # born 3-D: Mosaic can only insert a minor dim on 32-bit vectors, so a
+    # [:, :, None] on the i1 compare result fails to compile on real TPU.
+    iy = jax.lax.broadcasted_iota(jnp.int32, (win, wp, 1), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (win, wp, 1), 1)
     y0 = wy * win + iy
     x0 = ix
     if shift:
         y0 = jax.lax.rem(y0 + shift, hp)
         x0 = jax.lax.rem(x0 + shift, wp)
-    band_pad = jnp.logical_or(y0 >= real_h, x0 >= real_w)[:, :, None]
+    band_pad = jnp.logical_or(y0 >= real_h, x0 >= real_w)
 
     @pl.when(hg == 0)
     def _ln():
@@ -1647,7 +1649,19 @@ def _lnlin_kernel(x_ref, lns_ref, lnb_ref, w_ref, out_ref, *, eps):
 def _lnlin_forward(x2, lns, lnb, w, eps):
     rows, cin = x2.shape
     cout = w.shape[1]
+    # VMEM budget: the whole weight stays resident (8 MB at the stage-3
+    # merge: [4096, 1024] bf16), and each row costs the bf16 input + the
+    # f32 LN intermediates + the f32 matmul accumulator.  r=512 blew the
+    # 16 MB scoped limit by 448 KB on v5e at [7680, 4096] -> size the row
+    # block from the leftover budget instead of rows alone.
+    itemsize = x2.dtype.itemsize
+    weight_bytes = cin * cout * w.dtype.itemsize
+    per_row = cin * (2 * itemsize + 4) + cout * (4 + itemsize)
+    budget = 12 * 1024 * 1024 - weight_bytes
+    cap = max(8, budget // per_row)
     r = _pick_row_block(rows)
+    while r > cap and r > 8:
+        r //= 2
 
     x_spec = pl.BlockSpec((r, cin), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((r, cout), lambda i: (i, 0), memory_space=pltpu.VMEM)
