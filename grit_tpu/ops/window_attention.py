@@ -684,8 +684,10 @@ def fused_block_attention(
 # no diagonal extraction.  The softmax shift is a PER-HEAD-BLOCK rowmax
 # (_wide_exp) — exact per-head softmax at any cross-head score spread.
 # _WIDE/_BAND are chip-A/B flags (docs/NOTES.md round 3); interpret-mode
-# parity tests cover all four combinations' code paths.
-_WIDE = os.environ.get("GRIT_WA_WIDE", "0") == "1"  # pending chip A/B
+# parity tests cover all four combinations' code paths.  Chip A/B
+# (2026-08-19, b128 beam5): wide 258.5 vs tall 232.0 img/s; default ON
+# (set GRIT_WA_WIDE=0 for the tall layout).
+_WIDE = os.environ.get("GRIT_WA_WIDE", "1") == "1"
 
 
 def _wide_exp(s, g, n, dtype):
@@ -941,7 +943,9 @@ def _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
 # are sliced from the band in VMEM (sublane shifts, no HBM).  Grid order
 # puts the window row OUTERMOST so the per-row bias block (all nwx window
 # kinds) is DMA'd nwy times per call, not per program.
-_BAND = os.environ.get("GRIT_WA_BAND", "0") == "1"  # pending chip A/B
+# Chip A/B (2026-08-19, b128 beam5): band 248.9 vs 232.0 default; with the
+# wide layout 279.6 vs 258.5 — default ON (GRIT_WA_BAND=0 opts out).
+_BAND = os.environ.get("GRIT_WA_BAND", "1") == "1"
 # Roll-free shifted blocks (requires _BAND): the band kernel absorbs the
 # cyclic shift on its READ side — two half-window-row refs at a static block
 # offset assemble the shifted band, and an in-VMEM lane rotate handles the
@@ -950,7 +954,12 @@ _BAND = os.environ.get("GRIT_WA_BAND", "0") == "1"  # pending chip A/B
 # FOLLOWS each block's shift (see fused_block_step storage_shift), and the
 # per-shifted-block jnp.roll pairs (~12 ms/step at b128, docs/NOTES.md
 # round-3 glue hunt item 4) collapse to one roll at stage exit.
-_ROLLFREE = os.environ.get("GRIT_WA_ROLLFREE", "0") == "1"
+# Chip A/B (2026-08-19): wide+band+rollfree 292.8 img/s vs wide+band 279.6
+# — default ON.  NOTE: rollfree with the TALL score layout VMEM-OOMs at
+# stage 1 on v5e (the assemble temps + the 44%-padded score tensor exceed
+# the 16 MB scoped limit); the wide layout's smaller scores fit.  Setting
+# GRIT_WA_WIDE=0 therefore requires GRIT_WA_ROLLFREE=0 too.
+_ROLLFREE = os.environ.get("GRIT_WA_ROLLFREE", "1") == "1"
 
 
 def rollfree_enabled() -> bool:
