@@ -267,10 +267,19 @@ def default_detection_config() -> Config:
             "num_copies": {},     # name -> int
             "max_size": 1333,
             "scales": [480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800],
+            # TPU static-shape bucket: pad EVERY train batch to this (H, W)
+            # so the whole run compiles one step (a full-size detector step
+            # compiles for minutes — docs/NOTES.md).  [832, 1344] covers the
+            # 800/1333 multi-scale envelope; null = reference-style
+            # per-batch pad-to-max (one compile per encountered shape).
+            "fixed_bucket": [832, 1344],
         },
         "model": {
             "backbone": "swin_base_win7_384_22k",
-            "frozen_stages": 2,
+            # detector PRE-training fine-tunes the whole backbone (reference
+            # detection/detector.py:118 builds Swin with the default
+            # frozen_stages=-1; only CAPTION training freezes stages)
+            "frozen_stages": -1,
             "use_gri_feat": False,
             "use_reg_feat": True,
             "d_model": 512,
@@ -307,13 +316,20 @@ def default_detection_config() -> Config:
             },
         },
         "optimizer": {
-            "lr": 1e-4,
-            "lr_backbone": 1e-5,
+            # reference train_config.yaml:63-77: note lr_backbone > lr — the
+            # Swin is pre-trained and fine-tunes at 2e-5 while the fresh
+            # decoder/heads train at 1e-5, with attr_head on its own AdamW
+            "lr": 1e-5,
+            "lr_backbone": 2e-5,
+            "sp_names": ["attr_head"],
+            "sp_lr": 1e-4,
+            "sp_lr_drop_epochs": [5],
             "weight_decay": 1e-4,
             "clip_max_norm": 0.1,
             "batch_size": 4,
             "epochs": 50,
+            "num_workers": 4,
             "lr_drop_epochs": [40],
-            "lr_drop_factor": 0.1,
+            "decay_rate": 0.1,
         },
     })

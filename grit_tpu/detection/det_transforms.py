@@ -11,6 +11,7 @@ area [N], (attributes)}.  Output images are float32 HWC ImageNet-normalized.
 from __future__ import annotations
 
 import random
+import threading
 
 import numpy as np
 from PIL import Image
@@ -18,6 +19,26 @@ from PIL import Image
 from grit_tpu.data.transforms import MEAN, STD
 
 DEFAULT_SCALES = [480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800]
+
+_tls = threading.local()
+
+
+def seed_item_rng(seed: int) -> None:
+    """Install a thread-local RNG for this thread's transform calls.
+
+    The production loader (grit_tpu/detection/loader.py) transforms batch
+    items on a thread pool; drawing from the global ``random`` there would
+    make augmentation depend on thread scheduling.  Seeding per item with
+    (seed, epoch, dataset index) makes every augmentation a pure function of
+    those — deterministic across worker counts AND across kill-and-resume.
+    Without a call to this (e.g. direct transform use in tests), transforms
+    fall back to the global ``random`` module, reference-style.
+    """
+    _tls.rng = random.Random(seed)
+
+
+def _rng():
+    return getattr(_tls, "rng", None) or random
 
 
 def hflip(img: Image.Image, target: dict):
@@ -74,7 +95,7 @@ class RandomHorizontalFlip:
         self.p = p
 
     def __call__(self, img, target):
-        if random.random() < self.p:
+        if _rng().random() < self.p:
             return hflip(img, target)
         return img, target
 
@@ -85,7 +106,7 @@ class RandomResize:
         self.max_size = max_size
 
     def __call__(self, img, target):
-        return resize(img, target, random.choice(self.sizes), self.max_size)
+        return resize(img, target, _rng().choice(self.sizes), self.max_size)
 
 
 class RandomSizeCrop:
@@ -94,10 +115,10 @@ class RandomSizeCrop:
         self.max_size = max_size
 
     def __call__(self, img, target):
-        w = random.randint(self.min_size, min(img.width, self.max_size))
-        h = random.randint(self.min_size, min(img.height, self.max_size))
-        top = random.randint(0, img.height - h)
-        left = random.randint(0, img.width - w)
+        w = _rng().randint(self.min_size, min(img.width, self.max_size))
+        h = _rng().randint(self.min_size, min(img.height, self.max_size))
+        top = _rng().randint(0, img.height - h)
+        left = _rng().randint(0, img.width - w)
         return crop(img, target, (top, left, h, w))
 
 
@@ -108,7 +129,7 @@ class RandomSelect:
         self.a, self.b, self.p = a, b, p
 
     def __call__(self, img, target):
-        return (self.a if random.random() < self.p else self.b)(img, target)
+        return (self.a if _rng().random() < self.p else self.b)(img, target)
 
 
 class Compose:

@@ -132,12 +132,25 @@ class WarmupLRHook(Hook):
 
 
 class EpochLRHook(Hook):
-    """MultiStepLR: decay by factor at given epochs (train_detector.py:24-89)."""
+    """MultiStepLR: decay by factor at given epochs (train_detector.py:24-89).
 
-    def __init__(self, drop_epochs: list[int], factor: float = 0.1):
+    ``attr`` selects which solver scale this schedule drives:
+    ``epoch_lr_scale`` (the main 4-group optimizer, lr_drop_epochs) or
+    ``sp_epoch_lr_scale`` (the sp optimizer, sp_lr_drop_epochs).
+
+    Tick parity note: the reference steps every scheduler once BEFORE the
+    epoch loop (train_detector.py:245-246), so torch's MultiStepLR first
+    applies a milestone ``m`` during 0-indexed epoch ``m - 1``.  The CLI
+    passes ``[m - 1 for m in lr_drop_epochs]`` to reproduce that; this hook
+    itself drops at ``epoch >= e`` exactly.
+    """
+
+    def __init__(self, drop_epochs: list[int], factor: float = 0.1,
+                 attr: str = "epoch_lr_scale"):
         self.drop_epochs = sorted(drop_epochs)
         self.factor = factor
+        self.attr = attr
 
     def before_epoch(self, solver):
         n_drops = sum(1 for e in self.drop_epochs if solver.epoch >= e)
-        solver.epoch_lr_scale = self.factor ** n_drops
+        setattr(solver, self.attr, self.factor ** n_drops)

@@ -20,8 +20,14 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from grit_tpu.engine.optim import apply_lr
+from grit_tpu.engine.optim import apply_detector_lr, apply_lr
 from grit_tpu.engine.xe import TrainState
+
+#: labels produced by engine.optim.detector_param_labels — their presence
+#: switches the step to the reference's 4-group + sp AdamW semantics
+_DET_GROUPS = frozenset(
+    {"head", "det_no_decay", "backbone_no_decay", "backbone_decay", "sp"}
+)
 
 
 def make_detector_train_step(
@@ -33,8 +39,23 @@ def make_detector_train_step(
     lr: float,
     lr_backbone: float,
     clip_max_norm: float = 0.1,
+    sp_lr: float = 0.0,
+    weight_decay: float = 0.0,
+    freeze: Optional[Any] = None,
 ) -> Callable:
-    """(state, images, targets, lr_scale, rng) -> (state, metrics)."""
+    """(state, images, targets, lr_scale, rng) -> (state, metrics).
+
+    ``lr_scale`` may be a scalar (applied to every group) or a length-2
+    vector ``[main_scale, sp_scale]`` — the main MultiStepLR over
+    lr_drop_epochs vs the sp-optimizer's over sp_lr_drop_epochs (reference
+    train_detector.py:75-89).  With 5-way labels from
+    ``detector_param_labels`` the update is the reference's AdamW: per-group
+    lr (head/det_no_decay at lr, backbone groups at lr_backbone, sp at
+    sp_lr) and decoupled weight decay only on head/backbone_decay/sp.
+    """
+    det_groups = _DET_GROUPS.issuperset(set(jax.tree.leaves(labels))) and bool(
+        jax.tree.leaves(labels)
+    )
 
     def step(state: TrainState, images, targets, lr_scale, rng):
         def loss_fn(params):
@@ -53,7 +74,19 @@ def make_detector_train_step(
         else:
             gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = apply_lr(updates, labels, lr * lr_scale, lr_backbone * lr_scale)
+        scales = jnp.asarray(lr_scale, jnp.float32).reshape(-1)
+        if det_groups:
+            updates = apply_detector_lr(
+                updates, state.params, labels,
+                lr=lr, lr_backbone=lr_backbone, sp_lr=sp_lr,
+                weight_decay=weight_decay,
+                lr_scale=scales[0], sp_lr_scale=scales[-1],
+                freeze=freeze,
+            )
+        else:
+            updates = apply_lr(
+                updates, labels, lr * scales[0], lr_backbone * scales[0]
+            )
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.global_steps + 1)
         metrics = {"loss": total, "grad_norm": gnorm}
@@ -76,6 +109,10 @@ class SolverBase:
         self.epoch_results: dict = {}
         self.lr_scale = 1.0
         self.epoch_lr_scale = 1.0
+        # sp-optimizer schedule (reference train_detector.py:79-88): the sp
+        # group decays on its own sp_lr_drop_epochs, independent of the main
+        # MultiStepLR — EpochLRHook(attr='sp_epoch_lr_scale') drives this
+        self.sp_epoch_lr_scale = 1.0
 
     def call_hooks(self, name: str):
         for h in self.hooks:
@@ -103,10 +140,14 @@ class Trainer(SolverBase):
         self.epoch = epoch
         self.steps_per_epoch = len(self.dataloader)
         self.call_hooks("before_epoch")
+        # epoch-keyed dropout stream: fold_in instead of a run-sequential
+        # split chain, so a resumed run's epoch E draws the SAME step rngs
+        # as an uninterrupted run's epoch E (bit-exact kill-and-resume)
+        epoch_rng = jax.random.fold_in(self.rng, epoch)
         for it, batch in enumerate(self.dataloader):
             self.step_in_epoch = it
             self.call_hooks("before_step")
-            self.rng, step_rng = jax.random.split(self.rng)
+            epoch_rng, step_rng = jax.random.split(epoch_rng)
             images, targets = batch["samples"], batch["targets"]
             if self.mesh is not None:
                 # detection TRAINING must never pad a ragged batch: a padded
@@ -126,7 +167,12 @@ class Trainer(SolverBase):
                 targets = shard_batch(targets, self.mesh)
             self.state, metrics = self.step_fn(
                 self.state, images, targets,
-                jnp.asarray(self.lr_scale * self.epoch_lr_scale), step_rng,
+                jnp.asarray(
+                    [self.lr_scale * self.epoch_lr_scale,
+                     self.lr_scale * self.sp_epoch_lr_scale],
+                    jnp.float32,
+                ),
+                step_rng,
             )
             self.step_metrics = metrics
             self.global_step += 1

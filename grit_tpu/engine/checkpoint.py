@@ -56,6 +56,20 @@ def save_checkpoint(
             pass
 
 
+def restore_checkpoint_path(path: str, *, template: Optional[Any] = None):
+    """Restore a checkpoint from a direct directory path (e.g. the
+    ``exp.checkpoint`` warm-start of train_detector.py, which points at a
+    previously saved ``.../checkpoints/<name>`` directory)."""
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            try:
+                return ckptr.restore(path, item=template)
+            except Exception as e:
+                raise _maybe_fused_adam_hint(template, e) from e
+        return ckptr.restore(path)
+
+
 def restore_checkpoint(workdir: str, name: str, *, template: Optional[Any] = None):
     """Restore a named checkpoint; returns the payload dict."""
     path = _ckpt_dir(workdir, name)

@@ -24,7 +24,7 @@ phase changes (xe -> sc) just swap the scalar LRs without rebuilding state.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +142,97 @@ def build_optimizer(
     if weight_decay:
         txs.append(optax.add_decayed_weights(weight_decay))
     return optax.chain(*txs), labels
+
+
+def detector_param_labels(params: Any, sp_names=()) -> Any:
+    """5-way detector param grouping (reference train_detector.py:24-69).
+
+    The reference builds one AdamW over four ``param_dicts`` plus an optional
+    special AdamW for params whose dotted name contains any of
+    ``config.optimizer.sp_names``:
+
+    - ``sp``                 name contains an sp_names entry (default
+                             ``['attr_head']``) — separate optimizer, sp_lr,
+                             full weight decay, own MultiStepLR;
+    - ``head``               non-backbone, decayed (lr, weight_decay);
+    - ``det_no_decay``       non-backbone, ndim==1 or name ends '.bias'
+                             (wd=0, lr);
+    - ``backbone_no_decay``  backbone, same no-decay rule (wd=0, lr_backbone);
+    - ``backbone_decay``     backbone (lr_backbone, weight_decay).
+
+    The reference also exempts names whose LAST dotted component is in a
+    ``skip`` list (default ``['query_embed']``, train_detector.py:26-28) —
+    dead in practice: ``query_embed`` is an ``nn.Embedding`` so its param is
+    ``query_embed.weight`` (last component ``weight``), and the Swin backbone
+    defines no ``no_weight_decay()``.  We therefore replicate only the live
+    rules; ``query_embed`` lands in ``head`` exactly as it does upstream.
+    """
+    sp_names = tuple(sp_names)
+
+    def label(path, leaf):
+        parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        name = "/".join(parts)
+        if sp_names and any(ns in name for ns in sp_names):
+            return "sp"
+        no_decay = len(jnp.shape(leaf)) <= 1 or parts[-1] == "bias"
+        if "backbone" in name:
+            return "backbone_no_decay" if no_decay else "backbone_decay"
+        return "det_no_decay" if no_decay else "head"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def apply_detector_lr(
+    updates: Any,
+    params: Any,
+    labels: Any,
+    *,
+    lr,
+    lr_backbone,
+    sp_lr,
+    weight_decay: float,
+    lr_scale,
+    sp_lr_scale,
+    freeze: Optional[Any] = None,
+) -> Any:
+    """Per-group AdamW update: ``-lr_g * (adam_update + wd_g * param)``.
+
+    torch AdamW decoupled decay (the reference's optimizer): the decay is
+    scaled by the group's (scheduled) lr, and the no-decay groups get wd=0.
+    ``lr_scale`` applies to the four main groups (MultiStepLR over
+    lr_drop_epochs); ``sp_lr_scale`` to the sp group (sp_lr_drop_epochs).
+
+    ``freeze``: bool pytree — True leaves get a ZERO update.  The reference
+    builds its param groups over ``requires_grad`` params only
+    (train_detector.py:37-48), so frozen Swin stages receive neither Adam
+    updates nor weight decay; zeroing reproduces that exactly (the grads are
+    already zero through stop_gradient, but decoupled decay would otherwise
+    still shrink frozen weights).
+    """
+    group_lr = {
+        "head": lr * lr_scale,
+        "det_no_decay": lr * lr_scale,
+        "backbone_no_decay": lr_backbone * lr_scale,
+        "backbone_decay": lr_backbone * lr_scale,
+        "sp": sp_lr * sp_lr_scale,
+    }
+    group_wd = {
+        "head": weight_decay,
+        "det_no_decay": 0.0,
+        "backbone_no_decay": 0.0,
+        "backbone_decay": weight_decay,
+        "sp": weight_decay,
+    }
+
+    def scale(u, p, lab, fr=False):
+        out = -group_lr[lab] * (u + group_wd[lab] * p)
+        if fr is True:
+            out = jnp.zeros_like(u)
+        return out
+
+    if freeze is None:
+        return jax.tree.map(scale, updates, params, labels)
+    return jax.tree.map(scale, updates, params, labels, freeze)
 
 
 def apply_lr(updates: Any, labels: Any, model_lr, backbone_lr, freeze=None) -> Any:

@@ -686,7 +686,8 @@ def fused_block_attention(
 # _WIDE/_BAND are chip-A/B flags (docs/NOTES.md round 3); interpret-mode
 # parity tests cover all four combinations' code paths.  Chip A/B
 # (2026-08-19, b128 beam5): wide 258.5 vs tall 232.0 img/s; default ON
-# (set GRIT_WA_WIDE=0 for the tall layout).
+# (set GRIT_WA_WIDE=0 for the tall layout — on v5e that also requires
+# GRIT_WA_ROLLFREE=0; the guard below _ROLLFREE enforces it for defaults).
 _WIDE = os.environ.get("GRIT_WA_WIDE", "1") == "1"
 
 
@@ -960,6 +961,21 @@ _BAND = os.environ.get("GRIT_WA_BAND", "1") == "1"
 # the 16 MB scoped limit); the wide layout's smaller scores fit.  Setting
 # GRIT_WA_WIDE=0 therefore requires GRIT_WA_ROLLFREE=0 too.
 _ROLLFREE = os.environ.get("GRIT_WA_ROLLFREE", "1") == "1"
+if _ROLLFREE and not _WIDE and "GRIT_WA_ROLLFREE" not in os.environ:
+    # GRIT_WA_WIDE=0 alone must not inherit the rollfree default: the tall
+    # score layout + the rollfree assemble temps exceed v5e's 16 MB VMEM
+    # scope at stage 1 (ADVICE r3).  An EXPLICIT GRIT_WA_ROLLFREE=1 with
+    # WIDE=0 is left alone (larger-VMEM chips), just warned about.
+    _ROLLFREE = False
+elif _ROLLFREE and not _WIDE:
+    import warnings
+
+    warnings.warn(
+        "GRIT_WA_ROLLFREE=1 with GRIT_WA_WIDE=0 (tall score layout) exceeds "
+        "the 16 MB VMEM scope at Swin stage 1 on v5e-class chips; expect a "
+        "Mosaic OOM there (docs/FLAGS.md).",
+        stacklevel=1,
+    )
 
 
 def rollfree_enabled() -> bool:
@@ -1667,6 +1683,16 @@ def _lnlin_forward(x2, lns, lnb, w, eps):
     weight_bytes = cin * cout * w.dtype.itemsize
     per_row = cin * (2 * itemsize + 4) + cout * (4 + itemsize)
     budget = 12 * 1024 * 1024 - weight_bytes
+    if budget < 8 * per_row:
+        # the whole weight must stay VMEM-resident; a weight past the budget
+        # would schedule a guaranteed Mosaic OOM (ADVICE r3).  Unreachable at
+        # GRIT shapes (max 8 MB stage-3 merge weight) — future larger configs
+        # get the unfused XLA LN+matmul instead of a doomed kernel.
+        xn = _ln_rows(x2, lns, lnb, eps)
+        return jax.lax.dot_general(
+            xn, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x2.dtype)
     cap = max(8, budget // per_row)
     r = _pick_row_block(rows)
     while r > cap and r > 8:

@@ -43,7 +43,8 @@ def test_hook_order_and_counts():
     lrs = []
 
     def step_fn(state, images, targets, lr_scale, rng):
-        lrs.append(float(lr_scale))
+        # lr_scale is [main_scale, sp_scale]; warmup applies to both
+        lrs.append(float(lr_scale[0]))
         return state, {"loss": jnp.asarray(0.5)}
 
     state = TrainState(params={}, opt_state={}, global_steps=jnp.asarray(0))

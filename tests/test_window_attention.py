@@ -660,3 +660,24 @@ def test_fused_training_grads_with_drop_path():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4, err_msg=str(p1))
+
+
+def test_fused_ln_linear_oversized_weight_falls_back():
+    """A weight too large to stay VMEM-resident must take the unfused XLA
+    LN+matmul path instead of scheduling a guaranteed-OOM kernel (ADVICE r3:
+    the old code clamped the row block to 8 and scheduled it anyway).  On the
+    CPU backend a pallas_call outside _interp_patch would raise, so merely
+    producing a correct result proves the fallback engaged."""
+    cin, cout = 2048, 1600  # f32 weight = 13.1 MB > the 12 MB VMEM budget
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    x = jax.random.normal(ks[0], (1, 8, cin))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (cin,))
+    lnb = 0.1 * jax.random.normal(ks[2], (cin,))
+    w = jax.random.normal(ks[3], (cin, cout)) * 0.02
+
+    out = wa.fused_ln_linear(x, lns, lnb, w, eps=1e-5)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    ref = ((x - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb) @ w
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

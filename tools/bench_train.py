@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=20)
     ap.add_argument("--frozen-stages", type=int, default=2)
+    ap.add_argument("--no-donate", action="store_true",
+                    help="disable buffer donation in the XE step (production "
+                         "train_caption.py donates; this exists only to "
+                         "reproduce the round-3 non-donated measurements)")
     args, overrides = ap.parse_known_args(argv)
 
     from grit_tpu.utils.misc import enable_compile_cache
@@ -117,7 +121,7 @@ def main(argv=None):
         xe_step = make_xe_train_step(
             model, tx, labels, pad_idx=config.model.pad_idx, sched_cfg=sched,
             backbone_lr=config.optimizer.xe_backbone_lr, freeze=freeze,
-            donate=False,
+            donate=not args.no_donate,
         )
 
         def xe_inputs(b):
