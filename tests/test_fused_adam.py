@@ -64,6 +64,28 @@ class TestFlatRoundtrip:
         for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_bucketed_roundtrip_and_parity(self):
+        """Small bucket_elems splits the tree into several buckets (the
+        OOM fix: one whole-model concat forced every grad live at the
+        backward peak); the roundtrip and the update stay bit-equal."""
+        tree = _tree(5)
+        spec = make_flat_spec(tree, bucket_elems=512)
+        assert len(spec.sizes) > 1
+        back = unflatten(flatten_f32(tree, spec), spec)
+        for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # update parity under forced multi-bucket layout
+        ref_tx = optax.scale_by_adam(b1=B1, b2=B2)
+        flat_tx = scale_by_adam_flat(b1=B1, b2=B2, impl="xla")
+        with mock.patch.object(fa, "_BUCKET_ELEMS", 512):
+            fs = flat_tx.init(tree)
+            assert len(fs.mu) > 1
+            ru, _ = ref_tx.update(_grads(2), ref_tx.init(tree))
+            fu, _ = flat_tx.update(_grads(2), fs)
+        for a, b in zip(jax.tree.leaves(ru), jax.tree.leaves(fu)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestOptaxParity:
     @pytest.mark.parametrize("impl", ["xla", "pallas"])
