@@ -1,6 +1,6 @@
 # grit_tpu developer targets
 
-.PHONY: test test-fast bench native parity clean
+.PHONY: test test-all test-fast bench native parity clean
 
 # Full-size caption fidelity harness vs the torch reference at identical
 # (random) weights — run after ANY model-touching change.  The day real
@@ -10,12 +10,16 @@ parity:
 	JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS="" \
 		python tools/checkpoint_parity.py --random --f64
 
+# fast tier (< 5 min): everything except the `slow`-marked interpret-mode
+# kernel suites, e2e drives, and multi-process runs (tests/conftest.py
+# assigns the marks centrally).  The full pyramid is `make test-all`.
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "not slow" -n auto
 
-test-fast:
-	python -m pytest tests/test_core.py tests/test_metrics.py tests/test_data.py \
-		tests/test_engine.py tests/test_solver.py tests/test_det_data.py -q
+test-all:
+	python -m pytest tests/ -q -n auto
+
+test-fast: test
 
 bench:
 	python bench.py

@@ -31,6 +31,31 @@ enable_compile_cache("/tmp/jax_test_cache", min_compile_secs=1.0)
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# test tiers: `make test` runs the fast tier (-m "not slow", parallel,
+# < 5 min), `make test-all` the full pyramid.  Slow = interpret-mode kernel
+# suites, e2e CLI drives, multi-process/multichip runs, and individual
+# long-compile tests — marked here centrally so module files stay clean.
+# ---------------------------------------------------------------------------
+SLOW_FILES = {
+    "test_window_attention.py",   # interpret-mode Pallas kernel parity
+    "test_ops.py",                # MSDA kernel parity + finite differences
+    "test_multiprocess.py",       # real 2-process e2e
+    "test_multichip.py",          # dp8 / dp4tp2 dryruns
+    "test_overfit.py",            # memorization loops
+    "test_cli.py",                # every L5 surface end-to-end
+    "test_convert_parity.py",     # torch converted-weight parity
+    "test_caption_model.py",      # full-model fwd/grad compiles
+}
+SLOW_NODES = ("TestFrozenStages", "TestSCSTConvergence", "TestDetectorCLIResume")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in SLOW_FILES or any(n in item.nodeid for n in SLOW_NODES):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def rng():

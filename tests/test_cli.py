@@ -9,7 +9,6 @@ synthetic Karpathy-format DATA_ROOT and asserts on the artifacts it writes.
 
 import json
 import os
-from collections import Counter
 
 import numpy as np
 import pytest
@@ -17,62 +16,15 @@ from PIL import Image
 
 from grit_tpu.data.vocab import Vocab
 
-WORDS = "a thing number doing stuff red blue cat dog 1 2 11 12 13 14".split()
+from synth_coco import WORDS, make_synth_coco  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
-    """Synthetic Karpathy COCO + vocab + online-eval + nocaps fixtures."""
+    """Synthetic Karpathy COCO + vocab + online-eval + nocaps fixtures
+    (generator shared with the 2-process e2e: tests/synth_coco.py)."""
     root = tmp_path_factory.mktemp("cli_coco")
-    (root / "annotations").mkdir()
-    (root / "train2014").mkdir()
-    (root / "val2014").mkdir()
-    (root / "test2014").mkdir()
-
-    rng = np.random.RandomState(0)
-
-    def make_split(name, img_dir, img_ids, ann_start):
-        images, anns = [], []
-        for i, img_id in enumerate(img_ids):
-            fname = f"{name}_{img_id:012d}.jpg"
-            Image.fromarray(
-                rng.randint(0, 255, (60, 80 + 10 * i, 3), np.uint8)
-            ).save(root / img_dir / fname)
-            images.append({"id": img_id, "file_name": fname,
-                           "height": 60, "width": 80 + 10 * i})
-            for j in range(2):
-                anns.append({"id": ann_start + img_id * 10 + j, "image_id": img_id,
-                             "caption": f"a {WORDS[5 + i % 4]} thing number {img_id} doing stuff {j}"})
-        return {"images": images, "annotations": anns}
-
-    train = make_split("COCO_train2014", "train2014", [1, 2], 0)
-    val = make_split("COCO_val2014", "val2014", [11, 12, 13, 14], 100000)
-    json.dump(train, open(root / "annotations" / "captions_train2014.json", "w"))
-    json.dump(val, open(root / "annotations" / "captions_val2014.json", "w"))
-    np.save(root / "annotations" / "coco_train_ids.npy",
-            np.asarray([a["id"] for a in train["annotations"]]))
-    np.save(root / "annotations" / "coco_dev_ids.npy",
-            np.asarray([a["id"] for a in val["annotations"] if a["image_id"] == 11]))
-    np.save(root / "annotations" / "coco_test_ids.npy",
-            np.asarray([a["id"] for a in val["annotations"] if a["image_id"] == 12]))
-    np.save(root / "annotations" / "coco_restval_ids.npy",
-            np.asarray([a["id"] for a in val["annotations"]
-                        if a["image_id"] in (13, 14)]))
-
-    vocab = Vocab(counter=Counter({w: 5 for w in WORDS}))
-    vocab.save(str(root / "annotations" / "vocab.json"))
-
-    # online-eval test2014 split (image-info format, no captions)
-    test_imgs = []
-    for i, img_id in enumerate([501, 502, 503]):
-        fname = f"COCO_test2014_{img_id:012d}.jpg"
-        Image.fromarray(rng.randint(0, 255, (60, 90, 3), np.uint8)).save(
-            root / "test2014" / fname
-        )
-        test_imgs.append({"id": img_id, "file_name": fname,
-                          "height": 60, "width": 90})
-    json.dump({"images": test_imgs},
-              open(root / "annotations" / "image_info_test2014.json", "w"))
+    make_synth_coco(root)
     return root
 
 
@@ -259,3 +211,31 @@ class TestTrainCaptionResume:
         rows = [l for l in open("outputs/vres/result.csv")
                 if l.startswith("vres") and ", 1, " in l]
         assert len(rows) == 2, rows
+
+
+class TestTrainCaptionAutoExtract:
+    def test_freezing_mode_auto_extracts_missing_hdf5(self, data_root, tmp_path,
+                                                      monkeypatch, capsys):
+        """Freezing-mode parity glue (reference train_caption.py:48-59): when
+        the frozen-feature hdf5 is absent, train_caption must extract it with
+        the loaded detector weights and then train on it — not crash at the
+        loader."""
+        import train_caption
+
+        monkeypatch.chdir(tmp_path)
+        h5 = tmp_path / "auto_feats.h5"
+        assert not h5.exists()
+        train_caption.main(tiny_overrides(data_root) + [
+            "exp.name=vauto",
+            f"dataset.hdf5_path={h5}",
+            "optimizer.freezing_xe_epochs=1",
+            "optimizer.freezing_sc_epochs=0",
+            "optimizer.finetune_xe_epochs=0",
+            "optimizer.finetune_sc_epochs=0",
+            "optimizer.batch_size=1",
+        ])
+        out = capsys.readouterr().out
+        assert "extracting features" in out
+        assert h5.exists()
+        rows = [l for l in open("outputs/vauto/result.csv") if l.startswith("vauto")]
+        assert rows, "freezing epoch did not train/eval"

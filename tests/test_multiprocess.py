@@ -241,7 +241,6 @@ if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "worker":
     _worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
 
 
-@pytest.mark.skipif(not os.path.isdir("/tmp/vdata"), reason="needs /tmp/vdata synthetic COCO")
 def test_two_process_caption_training_e2e(tmp_path):
     """Full train_caption.py over TWO real processes: distributed rendezvous
     via env (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID -> maybe_initialize),
@@ -262,7 +261,13 @@ def test_two_process_caption_training_e2e(tmp_path):
         flags + [f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"]
     )
     base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get("PYTHONPATH", "")
-    base_env["DATA_ROOT"] = "/tmp/vdata"
+    # self-contained synthetic dataset (this test used to SKIP when a
+    # pre-built /tmp/vdata was absent — the round-3 suite's one skip)
+    from synth_coco import make_synth_coco
+
+    data_root = tmp_path / "vdata"
+    make_synth_coco(data_root)
+    base_env["DATA_ROOT"] = str(data_root)
     base_env["COORDINATOR_ADDRESS"] = f"localhost:{port}"
     base_env["NUM_PROCESSES"] = str(NPROC)
 

@@ -112,6 +112,35 @@ def main(argv=None):
         and not config.optimizer.get("freeze_backbone")
         else "finetune"
     )
+    # auto feature extraction (reference train_caption.py:48-59): freezing
+    # mode without freeze_detector trains on PRE-EXTRACTED hdf5 features; if
+    # they are absent, extract them now with the loaded detector weights
+    # instead of failing at the loader
+    if mode == "freezing" and not os.path.exists(config.dataset.hdf5_path):
+        # rank 0 extracts over the FULL dataset (an hdf5 must cover every
+        # rank's images); other ranks wait at the barrier below
+        if proc_idx == 0:
+            from grit_tpu.models.detector import build_detector
+            from tools.extract_features import extract_vis_features
+
+            print(f"{config.dataset.hdf5_path} absent -> extracting features "
+                  "(train_caption.py:48-59 parity)")
+            detector = build_detector(config, dtype=dtype)
+            det_params = {"params": jax.tree.map(
+                np.asarray, params["params"]["detector"]
+            )}
+            extract_loaders, _ = build_coco_dataloaders(
+                config, mode="finetune", rank=0, world=1
+            )
+            extract_vis_features(
+                jax.jit(lambda p, imgs: detector.apply(p, imgs)), det_params,
+                config, extract_loaders, config.dataset.hdf5_path,
+            )
+        if proc_count >= 2:
+            from grit_tpu.parallel.distributed import barrier
+
+            barrier("auto_extract_features")
+
     # reference batch sizes are PER-GPU (coco_config.yaml:77); ours must also
     # scale with the data-parallel width so each chip sees batch_size items
     # and the global batch divides the mesh
