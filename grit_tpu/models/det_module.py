@@ -25,6 +25,7 @@ for checkpoint-shape compatibility.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -67,6 +68,26 @@ class MLP(nn.Module):
         return x
 
 
+#: VMEM feasibility bound for the pallas MSDA kernels: they hold the whole
+#: per-image value slab [S_pad, C] resident (fwd one window, bwd two plus
+#: register spills that scale with S — docs/NOTES.md round 4).  The caption
+#: pyramid (384x640, S=5100, 5.2 MB bf16) measures ~46 MB of the v5e's
+#: 128 MB vmem; the det pre-training pyramid (832x1216, S=21000, 21.5 MB)
+#: wants 191 MB and is rejected by Mosaic.  Above this slab size the module
+#: falls back to the fused-XLA 'flat' formulation (bit-compatible math;
+#: the round-3 on-chip det step ran it at 1548.9 ms b4).
+MSDA_PALLAS_MAX_SLAB_BYTES = int(
+    float(os.environ.get("GRIT_MSDA_PALLAS_MAX_SLAB_MB", "10")) * (1 << 20)
+)
+
+
+def resolve_msda_impl(impl: str, s_pad: int, channels: int, itemsize: int) -> str:
+    """Demote 'pallas' to 'flat' when the value slab exceeds the VMEM bound."""
+    if impl == "pallas" and s_pad * channels * itemsize > MSDA_PALLAS_MAX_SLAB_BYTES:
+        return "flat"
+    return impl
+
+
 def _msda_offset_bias(n_heads: int, n_levels: int, n_points: int):
     """Radial per-head offset init (ms_deform_attn.py:57-65)."""
     thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
@@ -100,6 +121,11 @@ class MSDeformAttnModule(nn.Module):
     ) -> jnp.ndarray:
         b, lq, _ = query.shape
         m, L, p = self.n_heads, self.n_levels, self.n_points
+        # large maps (det pre-training 832x1216) exceed the pallas kernels'
+        # VMEM budget — resolve the impl against the static slab size
+        impl = resolve_msda_impl(
+            self.impl, src.shape[1], self.d_model, src.dtype.itemsize
+        )
 
         # value stays in the natural [B, S_pad, C] projection layout — the
         # per-layer [B, M, S, D] transpose + slab re-lay that cost ~95 ms of
@@ -111,7 +137,7 @@ class MSDeformAttnModule(nn.Module):
         # real rectangles (w*0 == 0*v, bit-equal) instead of an [B, S_pad, C]
         # elementwise pre-mask of the value slab — that pass cost ~15 ms/step
         # across the 6 layers at b128 eval even for unpadded batches
-        corner_mask = self.impl == "pallas" and real_hw is not None
+        corner_mask = impl == "pallas" and real_hw is not None
         if padding_mask is not None and not corner_mask:
             value = jnp.where(padding_mask[..., None], 0.0, value)
 
@@ -144,7 +170,7 @@ class MSDeformAttnModule(nn.Module):
             )
 
         out = ms_deform_attn_relaid(
-            value, spatial_shapes, loc, attn, m, impl=self.impl,
+            value, spatial_shapes, loc, attn, m, impl=impl,
             real_hw=real_hw if corner_mask else None,
         )
         return nn.Dense(self.d_model, name="output_proj", dtype=self.dtype,

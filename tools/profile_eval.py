@@ -31,19 +31,30 @@ from grit_tpu.utils.nested import ImageBatch
 enable_compile_cache("/tmp/jax_bench_cache")
 
 
-def timed(name, fn, *args, iters=5):
-    out = fn(*args)
-    jax.tree.map(lambda x: np.asarray(x), out)  # compile + sync
-    ts = []
-    for _ in range(iters):
-        t0 = time.time()
-        out = fn(*args)
-        jax.tree.map(lambda x: np.asarray(x), out)
-        ts.append(time.time() - t0)
-    med = sorted(ts)[len(ts) // 2]
-    print(f"{name:28s} {med * 1e3:9.1f} ms   (iters: "
-          f"{['%.1f' % (t * 1e3) for t in ts]})", flush=True)
-    return out, med
+def timed(name, raw_fn, *args, chain=8):
+    """Time a phase WITHOUT fetching its (huge) outputs and WITHOUT paying
+    the tunnel's ~25-30 ms dispatch RTT per iteration: jit a scalarized
+    variant (sum over ALL output leaves, so nothing is DCE'd — e.g. summing
+    only the first Swin stage would skip stages 2-4), dispatch ``chain``
+    back-to-back calls, fence once on the last scalar (the single device
+    stream executes programs in dispatch order), divide.  This is bench.py's
+    sustained two-in-flight pattern; np.asarray of a b128 feature pyramid
+    through the ~13 MB/s tunnel would swamp the timing instead
+    (docs/NOTES.md probe gotchas)."""
+
+    def scalarized(*a):
+        leaves = jax.tree.leaves(raw_fn(*a))
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+    sfn = jax.jit(scalarized)
+    float(np.asarray(sfn(*args)))  # compile + warm
+    t0 = time.time()
+    rs = [sfn(*args) for _ in range(chain)]
+    float(np.asarray(rs[-1]))
+    med = (time.time() - t0) / chain
+    print(f"{name:28s} {med * 1e3:9.1f} ms/call  (chained x{chain})",
+          flush=True)
+    return med
 
 
 def main():
@@ -69,16 +80,14 @@ def main():
     jax.block_until_ready(params)
     print("init done", file=sys.stderr)
 
-    # --- phase jits -------------------------------------------------------
-    backbone = jax.jit(lambda p, im: model.apply(
+    # --- phase fns (raw; `timed` jits scalarized variants) -----------------
+    backbone = lambda p, im: model.apply(
         p, im.images, method=lambda m, x: m.detector.backbone(
-            x, deterministic=True)))
-    detector = jax.jit(lambda p, im: model.apply(
-        p, im, method=lambda m, x: m.detector(x, deterministic=True)))
-    compute_vis = jax.jit(lambda p, im: model.apply(
-        p, im, method="compute_vis"))
-    precompute_kv = jax.jit(lambda p, vis: model.apply(
-        p, vis, method="precompute_vis_kv"))
+            x, deterministic=True))
+    detector = lambda p, im: model.apply(
+        p, im, method=lambda m, x: m.detector(x, deterministic=True))
+    compute_vis = lambda p, im: model.apply(p, im, method="compute_vis")
+    precompute_kv = lambda p, vis: model.apply(p, vis, method="precompute_vis_kv")
 
     def decode(params, vis, kv):
         def decode_fn(token, t, vis_in, cache):
@@ -95,22 +104,23 @@ def main():
         )
         return res.sequences
 
-    decode = jax.jit(decode)
-
     def generate(params, images):
         vis = model.apply(params, images, method="compute_vis")
         kv = model.apply(params, vis, method="precompute_vis_kv")
-        return decode.__wrapped__(params, vis, kv)
-
-    generate = jax.jit(generate)
+        return decode(params, vis, kv)
 
     # --- run --------------------------------------------------------------
-    feats, t_bb = timed("backbone (Swin)", backbone, params, images)
-    visdet, t_det = timed("detector (Swin+projs+det)", detector, params, images)
-    vis, t_vis = timed("compute_vis (det+grid_net)", compute_vis, params, images)
-    kv, t_kv = timed("precompute_vis_kv", precompute_kv, params, vis)
-    _, t_dec = timed("decode scan (20 steps)", decode, params, vis, kv)
-    _, t_full = timed("FULL generate", generate, params, images)
+    # downstream inputs computed once, kept device-resident (never fetched)
+    vis = jax.jit(compute_vis)(params, images)
+    kv = jax.jit(precompute_kv)(params, vis)
+    jax.block_until_ready(jax.tree.leaves(kv)[0])
+
+    t_bb = timed("backbone (Swin)", backbone, params, images)
+    t_det = timed("detector (Swin+projs+det)", detector, params, images)
+    t_vis = timed("compute_vis (det+grid_net)", compute_vis, params, images)
+    t_kv = timed("precompute_vis_kv", precompute_kv, params, vis)
+    t_dec = timed("decode scan (20 steps)", decode, params, vis, kv)
+    t_full = timed("FULL generate", generate, params, images)
 
     print(f"\nattribution at batch {batch} (ms):")
     print(f"  Swin backbone        {t_bb * 1e3:8.1f}")
@@ -120,12 +130,13 @@ def main():
     print(f"  decode (20 steps)    {t_dec * 1e3:8.1f}")
     print(f"  sum of phases        {(t_vis + t_kv + t_dec) * 1e3:8.1f}")
     print(f"  full generate        {t_full * 1e3:8.1f}")
-    print(f"  -> {batch / t_full:.1f} img/s single-stream")
+    print(f"  -> {batch / t_full:.1f} img/s sustained")
 
     if trace_dir:
+        gen_j = jax.jit(generate)
+        np.asarray(gen_j(params, images))  # compile outside the trace
         jax.profiler.start_trace(trace_dir)
-        out = generate(params, images)
-        np.asarray(out)
+        np.asarray(gen_j(params, images))
         jax.profiler.stop_trace()
         print(f"trace written to {trace_dir}")
 
