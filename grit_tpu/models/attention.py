@@ -24,6 +24,7 @@ Masks use the reference convention: boolean, True = masked out.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -32,6 +33,25 @@ import numpy as np
 
 # pre-LN eps matching torch nn.LayerNorm default
 LN_EPS = 1e-5
+
+# Decode-scan projection merging: compute q/k/v (self-attention) and the two
+# cross-attention q's with ONE concatenated-weight matmul each instead of
+# 3 + 2 separate Dense launches per layer per step.  Each output column of a
+# matmul is an independent dot over the same contraction, so the merged
+# results are bit-identical to the splits; parameters are untouched (the
+# concat happens on the fly and XLA hoists it out of the scan as
+# loop-invariant).  Chip A/B flag — the decode scan is launch-latency-bound
+# (docs/NOTES.md round-4 MFU hunt).
+_MERGED_PROJ = os.environ.get("GRIT_DECODE_MERGED_PROJ", "0") == "1"
+
+
+def merged_proj_enabled() -> bool:
+    return _MERGED_PROJ
+
+
+def _dense_wb(d: nn.Dense):
+    p = d.variables["params"]
+    return p["kernel"], p.get("bias")
 
 KVCache = tuple[jnp.ndarray, jnp.ndarray]  # (k, v) each [B, T_max, d_model]
 
@@ -77,6 +97,7 @@ class Attention(nn.Module):
         deterministic: bool = True,
         kv_projected: bool = False,
         kv_fold: int = 1,
+        q_proj: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """``kv_fold=f``: q has f times as many rows as k/v — every f
         consecutive q rows (e.g. the beams of one image) attend to the SAME
@@ -84,12 +105,15 @@ class Attention(nn.Module):
         beam-tiled: one batched dot over [B, H, f*nq, .] replaces f
         duplicated ones, and the loop-invariant K/V tensors stay f times
         smaller (the beam tiling at b128/k5 re-materialized ~50 ms of
-        broadcast/layout copies INSIDE the decode loop — docs/NOTES.md)."""
+        broadcast/layout copies INSIDE the decode loop — docs/NOTES.md).
+
+        ``q_proj``: the already-projected query (``fc_q(q)`` computed by the
+        caller, e.g. through a merged-weight matmul); ``q`` is then unused."""
         d_k = self.d_model // self.n_heads
-        bq, nq = q.shape[0], q.shape[1]
+        bq, nq = (q if q_proj is None else q_proj).shape[:2]
         b = bq // kv_fold
 
-        qh = self.fc_q(q)
+        qh = self.fc_q(q) if q_proj is None else q_proj
         if kv_projected:
             kh, vh = k, v
         else:
@@ -163,6 +187,7 @@ class MultiHeadAttention(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         kv_projected: bool = False,
         kv_fold: int = 1,
+        q_proj: Optional[jnp.ndarray] = None,
     ):
         """Returns output, or (output, new_cache) when a cache is given.
 
@@ -170,19 +195,40 @@ class MultiHeadAttention(nn.Module):
         token [B, 1, D]; attention runs over cache slots <= cache_index.
         ``kv_projected``: keys/values already went through fc_k/fc_v.
         ``kv_fold``: see Attention.__call__ (beam-folded shared K/V).
+        ``q_proj``: pre-projected query (merged-weight matmul); the post-LN
+        residual still uses the raw ``queries``.
         """
         if cache is None:
             out = self.attention(
                 queries, keys, values, mask,
                 deterministic=deterministic, kv_projected=kv_projected,
-                kv_fold=kv_fold,
+                kv_fold=kv_fold, q_proj=q_proj,
             )
             out = self.drop(out, deterministic=deterministic)
             return self.layer_norm(queries + out)
 
         k_cache, v_cache = cache
         t_max = k_cache.shape[1]
-        k_new, v_new = self.attention.project_kv(keys, values)
+        if (
+            _MERGED_PROJ
+            and q_proj is None
+            and queries is keys
+            and not self.is_initializing()
+        ):
+            # decode self-attention (q == k == v == the incoming token): one
+            # [D, 3D] matmul for q/k/v — bit-identical per output column to
+            # the three Dense calls; weights concatenated on the fly (XLA
+            # hoists the loop-invariant concat out of the decode scan)
+            att = self.attention
+            ws, bs = zip(*(_dense_wb(d) for d in (att.fc_q, att.fc_k, att.fc_v)))
+            w, b_ = jnp.concatenate(ws, axis=1), jnp.concatenate(bs)
+            x = keys
+            if att.dtype is not None:  # nn.Dense computes in the module dtype
+                w, b_, x = w.astype(att.dtype), b_.astype(att.dtype), x.astype(att.dtype)
+            qkv = x @ w + b_
+            q_proj, k_new, v_new = jnp.split(qkv, 3, axis=-1)
+        else:
+            k_new, v_new = self.attention.project_kv(keys, values)
         idx = cache_index
         k_cache = k_cache.at[:, idx].set(k_new[:, 0])
         v_cache = v_cache.at[:, idx].set(v_new[:, 0])
@@ -191,7 +237,7 @@ class MultiHeadAttention(nn.Module):
         full_mask = slot if mask is None else jnp.logical_or(mask, slot)
         out = self.attention(
             queries, k_cache, v_cache, full_mask,
-            deterministic=deterministic, kv_projected=True,
+            deterministic=deterministic, kv_projected=True, q_proj=q_proj,
         )
         out = self.drop(out, deterministic=deterministic)
         return self.layer_norm(queries + out), (k_cache, v_cache)

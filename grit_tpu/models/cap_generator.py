@@ -33,7 +33,9 @@ from grit_tpu.models.attention import (
     FeedForward,
     KVCache,
     MultiHeadAttention,
+    _dense_wb,
     dense,
+    merged_proj_enabled,
 )
 from grit_tpu.ops.posemb import sinusoid_encoding_table
 
@@ -105,13 +107,25 @@ class ParallelAttentionLayer(nn.Module):
             # small q-projection + attention
             k1, v1 = vis_kv["att1"]
             k2, v2 = vis_kv["att2"]
+            q1 = q2 = None
+            if merged_proj_enabled() and not self.is_initializing():
+                # both cross attentions query from the same self_att rows:
+                # one [D, 2D] matmul for q1/q2 (bit-identical per column;
+                # see attention.py GRIT_DECODE_MERGED_PROJ)
+                a1, a2 = self.vis_att1.attention, self.vis_att2.attention
+                (w1, b1), (w2, b2) = _dense_wb(a1.fc_q), _dense_wb(a2.fc_q)
+                w, b_ = jnp.concatenate([w1, w2], axis=1), jnp.concatenate([b1, b2])
+                x = self_att
+                if a1.dtype is not None:
+                    w, b_, x = w.astype(a1.dtype), b_.astype(a1.dtype), x.astype(a1.dtype)
+                q1, q2 = jnp.split(x @ w + b_, 2, axis=-1)
             enc1 = self.vis_att1(
                 self_att, k1, v1, mask_y1, deterministic=deterministic,
-                kv_projected=True, kv_fold=vis_fold,
+                kv_projected=True, kv_fold=vis_fold, q_proj=q1,
             ) * mask_pad
             enc2 = self.vis_att2(
                 self_att, k2, v2, mask_y2, deterministic=deterministic,
-                kv_projected=True, kv_fold=vis_fold,
+                kv_projected=True, kv_fold=vis_fold, q_proj=q2,
             ) * mask_pad
         else:
             enc1 = self.vis_att1(self_att, y1, y1, mask_y1, deterministic=deterministic,

@@ -109,6 +109,39 @@ class TestPrecomputedVisKV:
             tok = jnp.argmax(lp1, -1)[:, None].astype(jnp.int32)
 
 
+class TestMergedDecodeProj:
+    def test_merged_projections_bit_equal(self, model_and_params, monkeypatch):
+        """GRIT_DECODE_MERGED_PROJ: the merged-weight qkv / cross-q matmuls
+        must be BIT-identical to the per-Dense path (each output column is an
+        independent dot over the same contraction)."""
+        import grit_tpu.models.attention as attention_mod
+
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        kv = model.apply(params, vis, method="precompute_vis_kv")
+        tok = jnp.full((2, 1), BOS, jnp.int32)
+
+        def drive(merged):
+            monkeypatch.setattr(attention_mod, "_MERGED_PROJ", merged)
+            cache = model.apply(params, 2, MAXLEN, method="init_cache")
+            tok_t, lps = tok, []
+            for t in range(4):
+                lp, cache = model.apply(
+                    params, tok_t, jnp.asarray(t), vis, cache,
+                    method="decode_step", vis_kv=kv,
+                )
+                lps.append(np.asarray(lp))
+                tok_t = jnp.argmax(lp, -1)[:, None].astype(jnp.int32)
+            return lps, jax.tree.map(np.asarray, cache)
+
+        lps_off, cache_off = drive(False)
+        lps_on, cache_on = drive(True)
+        for a, b in zip(lps_off, lps_on):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(cache_off), jax.tree.leaves(cache_on)):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestBeamSearch:
     def _decode_fn(self, model, params):
         def fn(token, t, vis, cache):
