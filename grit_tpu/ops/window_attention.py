@@ -1049,6 +1049,13 @@ def _band_kernel(
         xn = xn * lns_ref[0][None, None, :] + lnb_ref[0][None, None, :]
         xn_ref[...] = jnp.where(band_pad, 0.0, xn).astype(xn_ref.dtype)
 
+    # q/k/v projections stay PER WINDOW.  Hoisting them to one whole-band
+    # dot each ([win*Wp, C] @ [C, g*d]) looked like an MXU win on paper
+    # (one deep dot vs nwx row-tile-padded fragments) but measured 279.6
+    # vs 292.9 img/s e2e on v5e (2026-08-19 A/B): the full-band q/k/v
+    # temporaries must stay live across the whole window loop, while the
+    # per-window dots feed attention producer-consumer and pipeline with
+    # it.  Same genus as the fused-Adam/one-hot-gather lessons.
     parts = []
     for wx in range(nwx):
         xw = xn_ref[:, wx * win:(wx + 1) * win, :].reshape(n, c)
@@ -1558,6 +1565,34 @@ def _pick_row_block(rows: int, max_r: int = 512) -> int:
     return r
 
 
+# Optional override for the MLP row cap (rows per program), for chip A/Bs.
+_MLP_ROWS = int(os.environ.get("GRIT_MLP_ROWS", "0"))
+
+
+def _mlp_row_cap(c: int, hid: int, itemsize: int) -> int:
+    """Row-block cap for the fused-MLP kernel, sized from a VMEM budget.
+
+    A fixed 512-row block starves narrow stages: at stage 1 (C=128,
+    hid=512) each program is ~0.13 GFLOP — launch overhead dominates and
+    the b128 eval trace showed ~14% MFU vs stage 3's 74%.  Budgeting rows
+    against the per-row VMEM footprint raises the narrow stages (C=128 ->
+    2048 rows, C=256 -> 1024) while the floor keeps the wide stages at
+    the proven 512 (the byte model below overestimates — the old fixed
+    512 compiled and ran fine even at C=1024/hid=4096 where the model
+    says ~25 MB — so it must only ever RAISE the cap, never lower it).
+    """
+    if _MLP_ROWS:
+        return _MLP_ROWS
+    # per-row bytes: in/out blocks (double-buffered) + f32 LN temps at C
+    # + the f32 GELU intermediate + its cast at hid
+    per_row = c * (6 * itemsize + 12) + hid * (4 + itemsize)
+    cap = (13 * 1024 * 1024) // max(per_row, 1)
+    r = 512
+    while r * 2 <= min(cap, 2048):
+        r *= 2
+    return r
+
+
 def _ln_rows(x2, lns, lnb, eps):
     """f32-stats fast-variance LayerNorm over rows, result in ``x2.dtype``.
     THE definition of the fused kernels' LN semantics — the kernel bodies
@@ -1573,7 +1608,7 @@ def _ln_rows(x2, lns, lnb, eps):
 def _mlp_forward(x2, lns, lnb, w1, b1, w2, b2, eps, residual):
     rows, c = x2.shape
     hid = w1.shape[1]
-    r = _pick_row_block(rows)
+    r = _pick_row_block(rows, max_r=_mlp_row_cap(c, hid, x2.dtype.itemsize))
 
     row_spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
