@@ -40,9 +40,10 @@ LN_EPS = 1e-5
 # matmul is an independent dot over the same contraction, so the merged
 # results are bit-identical to the splits; parameters are untouched (the
 # concat happens on the fly and XLA hoists it out of the scan as
-# loop-invariant).  Chip A/B flag — the decode scan is launch-latency-bound
-# (docs/NOTES.md round-4 MFU hunt).
-_MERGED_PROJ = os.environ.get("GRIT_DECODE_MERGED_PROJ", "0") == "1"
+# loop-invariant).  Chip A/B 2026-08-19 (b128 beam5 eval): 294.6 vs 293.8
+# img/s — small but consistent, and the launch saving grows as batch
+# shrinks (the scan gets more latency-bound); default ON.
+_MERGED_PROJ = os.environ.get("GRIT_DECODE_MERGED_PROJ", "1") == "1"
 
 
 def merged_proj_enabled() -> bool:
