@@ -54,7 +54,25 @@ def _dense_wb(d: nn.Dense):
     p = d.variables["params"]
     return p["kernel"], p.get("bias")
 
-KVCache = tuple[jnp.ndarray, jnp.ndarray]  # (k, v) each [B, T_max, d_model]
+
+# Decode-time K/V head-split layout: loop-invariant visual K/V and the
+# self-attention cache are stored [B, H, T, Dh] — the layout the score/value
+# dots consume — instead of [B, T, H*Dh].  With the flat layout XLA's layout
+# assignment re-laid every one of them INSIDE the decode scan each step
+# (b128 trace: 6 copies/step on the grid K/V alone, plus cache copies); the
+# head-split tensors are materialized ONCE outside the scan.  Same dots and
+# contraction dims; outputs agree to fp32 rounding (XLA may reassociate the
+# d_k summation per layout) — decision parity asserted by TestKVHsplit.
+_KV_HSPLIT = os.environ.get("GRIT_DECODE_KV_HSPLIT", "0") == "1"
+
+
+def kv_hsplit_enabled() -> bool:
+    return _KV_HSPLIT
+
+
+KVCache = tuple[jnp.ndarray, jnp.ndarray]
+"""(k, v), each [B, T_max, d_model] — or [B, H, T_max, d_head] head-split
+when ``kv_hsplit_enabled()`` (GRIT_DECODE_KV_HSPLIT)."""
 
 
 def dense(features: int, name: str, use_bias: bool = True, dtype=None) -> nn.Dense:
@@ -115,6 +133,22 @@ class Attention(nn.Module):
         b = bq // kv_fold
 
         qh = self.fc_q(q) if q_proj is None else q_proj
+        if kv_projected and k.ndim == 4:
+            # pre-head-split [B, H, S, Dh] K/V (decode path, GRIT_DECODE_KV_HSPLIT):
+            # already in the layout the dots consume — no per-step re-lay.
+            if self.n_memories > 0:
+                # project_kv never head-splits when memories exist, so this
+                # branch is unreachable from the framework's own call sites
+                raise ValueError("head-split K/V path expects n_memories == 0")
+            kh4, vh4 = k, v
+            qh = qh.reshape(b, kv_fold * nq, self.n_heads, d_k)
+            scores = jnp.einsum("bqhd,bhkd->bhqk", qh, kh4) / np.sqrt(d_k)
+            if mask is not None:
+                scores = jnp.where(mask, jnp.asarray(-jnp.inf, scores.dtype), scores)
+            p = nn.softmax(scores, axis=-1)
+            p = self.attn_drop(p, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bqhd", p, vh4).reshape(bq, nq, self.d_model)
+            return self.fc_o(out)
         if kv_projected:
             kh, vh = k, v
         else:
@@ -156,6 +190,17 @@ class Attention(nn.Module):
 
     def project_kv(self, k: jnp.ndarray, v: jnp.ndarray) -> KVCache:
         """Apply fc_k/fc_v only (for writing projected entries into a KV cache)."""
+        if _KV_HSPLIT and self.n_memories == 0:
+            # memory slots are appended along the key axis AFTER projection
+            # (flat [B, S, D] layout) — keep that path unchanged; only
+            # memory-free attentions store head-split K/V
+            d_k = self.d_model // self.n_heads
+
+            def split4(x):
+                b, s, _ = x.shape
+                return x.reshape(b, s, self.n_heads, d_k).transpose(0, 2, 1, 3)
+
+            return split4(self.fc_k(k)), split4(self.fc_v(v))
         return self.fc_k(k), self.fc_v(v)
 
 
@@ -209,7 +254,7 @@ class MultiHeadAttention(nn.Module):
             return self.layer_norm(queries + out)
 
         k_cache, v_cache = cache
-        t_max = k_cache.shape[1]
+        t_max = k_cache.shape[2] if k_cache.ndim == 4 else k_cache.shape[1]
         if (
             _MERGED_PROJ
             and q_proj is None
@@ -231,8 +276,17 @@ class MultiHeadAttention(nn.Module):
         else:
             k_new, v_new = self.attention.project_kv(keys, values)
         idx = cache_index
-        k_cache = k_cache.at[:, idx].set(k_new[:, 0])
-        v_cache = v_cache.at[:, idx].set(v_new[:, 0])
+        if k_cache.ndim == 4:  # head-split cache [B, H, T, Dh]
+            b_, h_, _, d_ = k_cache.shape
+
+            def entry(x):  # [B,1,D] flat (merged proj) or [B,H,1,Dh]
+                return x[:, 0].reshape(b_, h_, d_) if x.ndim == 3 else x[:, :, 0]
+
+            k_cache = k_cache.at[:, :, idx].set(entry(k_new))
+            v_cache = v_cache.at[:, :, idx].set(entry(v_new))
+        else:
+            k_cache = k_cache.at[:, idx].set(k_new[:, 0])
+            v_cache = v_cache.at[:, idx].set(v_new[:, 0])
         # mask out slots beyond the current step
         slot = jnp.arange(t_max)[None, None, None, :] > idx  # [1,1,1,T]
         full_mask = slot if mask is None else jnp.logical_or(mask, slot)

@@ -35,6 +35,7 @@ from grit_tpu.models.attention import (
     MultiHeadAttention,
     _dense_wb,
     dense,
+    kv_hsplit_enabled,
     merged_proj_enabled,
 )
 from grit_tpu.ops.posemb import sinusoid_encoding_table
@@ -304,7 +305,14 @@ class CaptionGenerator(nn.Module):
         return nn.log_softmax(self.fc(x).astype(jnp.float32), axis=-1)
 
     def init_cache(self, batch: int, t_max: int, dtype=jnp.float32) -> DecodeCache:
-        zeros = jnp.zeros((batch, t_max, self.d_model), self.dtype or dtype)
+        if kv_hsplit_enabled():
+            # head-split layout [B, H, T, Dh] — see attention.py KVCache
+            zeros = jnp.zeros(
+                (batch, self.n_heads, t_max, self.d_model // self.n_heads),
+                self.dtype or dtype,
+            )
+        else:
+            zeros = jnp.zeros((batch, t_max, self.d_model), self.dtype or dtype)
         return {
             "layers": tuple((zeros, zeros) for _ in range(self.n_layers)),
             "pad_hist": jnp.zeros((batch, t_max), bool),

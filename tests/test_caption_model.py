@@ -142,6 +142,65 @@ class TestMergedDecodeProj:
             np.testing.assert_array_equal(a, b)
 
 
+class TestKVHsplit:
+    def test_head_split_kv_matches_flat(self, model_and_params, monkeypatch):
+        """GRIT_DECODE_KV_HSPLIT: storing decode K/V head-split [B, H, T, Dh]
+        computes the same attention as the flat [B, T, D] layout.  The dots
+        contract the same dimension, but XLA may reassociate the summation
+        differently per layout, so parity is to fp32 rounding (~1e-6), not
+        bitwise."""
+        import grit_tpu.models.attention as attention_mod
+
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        tok0 = jnp.full((2, 1), BOS, jnp.int32)
+
+        def drive(hsplit):
+            monkeypatch.setattr(attention_mod, "_KV_HSPLIT", hsplit)
+            kv = model.apply(params, vis, method="precompute_vis_kv")
+            cache = model.apply(params, 2, MAXLEN, method="init_cache")
+            tok, lps = tok0, []
+            for t in range(4):
+                lp, cache = model.apply(
+                    params, tok, jnp.asarray(t), vis, cache,
+                    method="decode_step", vis_kv=kv,
+                )
+                lps.append(np.asarray(lp))
+                tok = jnp.argmax(lp, -1)[:, None].astype(jnp.int32)
+            return lps
+
+        lps_flat = drive(False)
+        lps_split = drive(True)
+        for a, b in zip(lps_flat, lps_split):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+
+    def test_beam_search_equal_across_layouts(self, model_and_params, monkeypatch):
+        """Full beam search (incl. per-step cache reorder by parent beam)
+        must make identical decisions across KV layouts (scores to fp32
+        rounding)."""
+        import grit_tpu.models.attention as attention_mod
+
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+
+        def run(hsplit):
+            monkeypatch.setattr(attention_mod, "_KV_HSPLIT", hsplit)
+            cache = model.apply(params, 2 * 3, MAXLEN, method="init_cache")
+
+            def fn(token, t, v, c):
+                return model.apply(params, token, t, v, c, method="decode_step")
+
+            return beam_search(fn, cache, vis, 2, 3, MAXLEN, BOS, EOS, out_size=3)
+
+        r_flat, r_split = run(False), run(True)
+        np.testing.assert_array_equal(np.asarray(r_flat.sequences), np.asarray(r_split.sequences))
+        np.testing.assert_allclose(np.asarray(r_flat.scores), np.asarray(r_split.scores),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r_flat.log_probs), np.asarray(r_split.log_probs),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestBeamSearch:
     def _decode_fn(self, model, params):
         def fn(token, t, vis, cache):
