@@ -38,6 +38,7 @@ backward kernels, cuh:302-921.)
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -452,6 +453,9 @@ def _spans_v4(spatial_shapes):
 
 
 def needs_relay(spatial_shapes) -> bool:
+    if v5_enabled():
+        _, _, s_pad = _spans_v5(spatial_shapes)
+        return s_pad != sum(h * w for h, w in spatial_shapes)
     starts, sizes, s_pad = _spans_v4(spatial_shapes)
     return s_pad != sum(sizes)
 
@@ -461,7 +465,11 @@ def relay_value(x, spatial_shapes):
 
     Identity when the natural layout already conforms.  Done ONCE on the
     decoder memory (det_module hoists it out of the per-layer MSDA calls).
+    With GRIT_MSDA_V5=1 the target layout is the v5 row-padded slab instead
+    (W padded to a sublane multiple per level, see relay_value_v5).
     """
+    if v5_enabled():
+        return relay_value_v5(x, spatial_shapes)
     starts, sizes, s_pad = _spans_v4(spatial_shapes)
     if s_pad == sum(sizes):
         return x
@@ -480,6 +488,8 @@ def relay_value(x, spatial_shapes):
 
 def relay_mask(mask, spatial_shapes):
     """[N, S] bool pad mask -> [N, S_pad]; relay pad slots are True (padded)."""
+    if v5_enabled():
+        return relay_mask_v5(mask, spatial_shapes)
     starts, sizes, s_pad = _spans_v4(spatial_shapes)
     if s_pad == sum(sizes):
         return mask
@@ -496,6 +506,8 @@ def relay_mask(mask, spatial_shapes):
 
 def unrelay_value(x, spatial_shapes):
     """Inverse of relay_value (for the non-pallas fallback paths)."""
+    if v5_enabled():
+        return unrelay_value_v5(x, spatial_shapes)
     starts, sizes, s_pad = _spans_v4(spatial_shapes)
     if s_pad == sum(sizes):
         return x
@@ -783,6 +795,11 @@ def ms_deform_attn_pallas_relaid(
     n, s_pad, c = value.shape
     _, lq, m, L, p, _ = sampling_locations.shape
     dhead = c // m
+    if v5_enabled():
+        return ms_deform_attn_pallas_v5(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            real_hw=real_hw,
+        )
     starts, sizes, s_pad_want = _spans_v4(spatial_shapes)
     if s_pad != s_pad_want:
         raise ValueError(
@@ -797,3 +814,378 @@ def ms_deform_attn_pallas_relaid(
         idx_h, base_h, w_h, value,
         tuple(zip(starts, sizes)), p, wdims, dhead,
     )
+
+
+# ---------------------------------------------------------------------------
+# v5: separable selection matrices — the VPU-cost rewrite of v4.
+#
+# v4's wall is the VPU: per (head, level, point) it spends 4 corner slots x
+# (compare + select + add) over a full [Lq, S_l] tile (~308M element-passes
+# per image at the production pyramid; the b128 trace charges each decoder
+# layer's MSDA ~9.4 ms, VPU-bound, while the MXU idles at ~5%).
+#
+# v5 exploits that a bilinear stencil is SEPARABLE: the four corner weights
+# of a point are the outer product of a 2-tap row vector and a 2-tap column
+# vector,
+#
+#   w_TL,TR,BL,BR = (1-fy, fy) x ((1-fx)*a, fx*a).
+#
+# So the per-point selection MATRIX over a level grid is rank-1:
+#
+#   selm_pt = rowsel_pt (x) colsel_pt,   rowsel in R^[H], colsel in R^[Wp]
+#
+# and the per-level selection matrix is a sum of P rank-1 updates.  The
+# kernel builds rowsel/colsel with compares over TINY [H, Lq] / [Wp, Lq]
+# tiles and accumulates each point with ONE fused broadcast-multiply-add
+# over [H, Wp, Lq] — ~8 element-passes per (head, level) instead of v4's
+# ~48.  Everything is laid out TRANSPOSED ([rows, Lq] with queries on
+# lanes): merging (H, Wp) -> H*Wp on the sublane side is layout-free when
+# Wp % 8 == 0, which is why the slab carries its rows padded to Wp =
+# ceil(W/8)*8 (relay_value_v5; +7.5% slab rows at 384x640 vs v4's zero-pad).
+# Pad columns are NEVER selected — invalid corner indices are set to -1 in
+# prep (out-of-level, out-of-real-rectangle, or the x0+1==W edge), so the
+# pad content is irrelevant and the hoisted src relay can run BEFORE the
+# per-layer value projections (pad rows hold the projection bias, harmless).
+#
+# The backward reuses the v4 selector-transpose kernel on corner-form
+# indices/weights computed against the v5 strides: the corner-form gradient
+# path is complete by itself (it is exactly the production v4 gradient), so
+# the separable forward inputs receive zero cotangents.
+#
+# (Replaces the same CUDA col2im family as v2/v4 — reference
+# models/ops/src/cuda/ms_deform_im2col_cuda.cuh:238-299.)
+# ---------------------------------------------------------------------------
+
+
+def v5_enabled() -> bool:
+    """GRIT_MSDA_V5 selects the pallas MSDA path (and the relay layout that
+    det_module applies to the decoder memory): the separable-selection v5
+    kernel (default — chip A/B 2026-08-19, b128 beam5 eval: 324.9 vs 295.1
+    img/s, 9.4 -> ~2 ms per decoder layer) vs the v4 corner-compare kernel
+    (``GRIT_MSDA_V5=0``).  Read lazily (trace time) so tests can flip it."""
+    return os.environ.get("GRIT_MSDA_V5", "1") == "1"
+
+
+def _spans_v5(spatial_shapes):
+    """Per-level (start, H, Wp) for the row-padded v5 slab layout.
+
+    Wp = ceil(W/8)*8: each level is stored as an [H, Wp] grid flattened
+    row-major, so a [H, Wp, Lq] selection tensor reshapes to [H*Wp, Lq]
+    with no data movement (sublane-dim merge).  Starts are 8-aligned by
+    construction.  Returns (starts, dims, s_pad) with dims = ((H, Wp), ...).
+    """
+    starts, dims = [], []
+    off = 0
+    for h, w in spatial_shapes:
+        wp = -(-w // 8) * 8
+        starts.append(off)
+        dims.append((h, wp))
+        off += h * wp
+    return starts, dims, off
+
+
+def relay_value_v5(x, spatial_shapes):
+    """[N, S, ...] natural layout -> [N, S5, ...] with W padded per level."""
+    n = x.shape[0]
+    orig = level_start_index(spatial_shapes)
+    segs = []
+    for st_o, (h, w) in zip(orig, spatial_shapes):
+        seg = jax.lax.slice_in_dim(x, st_o, st_o + h * w, axis=1)
+        wp = -(-w // 8) * 8
+        if wp != w:
+            seg = seg.reshape((n, h, w) + x.shape[2:])
+            widths = [(0, 0)] * seg.ndim
+            widths[2] = (0, wp - w)
+            seg = jnp.pad(seg, widths).reshape((n, h * wp) + x.shape[2:])
+        segs.append(seg)
+    return jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
+
+
+def relay_mask_v5(mask, spatial_shapes):
+    """[N, S] bool pad mask -> [N, S5]; relay pad slots are True (padded)."""
+    n = mask.shape[0]
+    orig = level_start_index(spatial_shapes)
+    segs = []
+    for st_o, (h, w) in zip(orig, spatial_shapes):
+        seg = jax.lax.slice_in_dim(mask, st_o, st_o + h * w, axis=1)
+        wp = -(-w // 8) * 8
+        if wp != w:
+            seg = jnp.pad(seg.reshape(n, h, w), [(0, 0), (0, 0), (0, wp - w)],
+                          constant_values=True).reshape(n, h * wp)
+        segs.append(seg)
+    return jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
+
+
+def unrelay_value_v5(x, spatial_shapes):
+    """Inverse of relay_value_v5 (for the non-pallas fallback paths)."""
+    n = x.shape[0]
+    starts, dims, _ = _spans_v5(spatial_shapes)
+    segs = []
+    for st, (h, wp), (h_o, w) in zip(starts, dims, spatial_shapes):
+        seg = jax.lax.slice_in_dim(x, st, st + h * wp, axis=1)
+        if wp != w:
+            seg = seg.reshape((n, h, wp) + x.shape[2:])
+            seg = jax.lax.slice_in_dim(seg, 0, w, axis=2)
+            seg = seg.reshape((n, h * w) + x.shape[2:])
+        segs.append(seg)
+    return jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
+
+
+def _prepare_sep_v5(spatial_shapes, sampling_locations, attention_weights,
+                    real_hw=None):
+    """Separable per-point taps in kernel layout [N, M, 2*L*P, Lq].
+
+    Slot 2*pt holds the floor tap (y0 / x0), slot 2*pt+1 the ceil tap.
+    Invalid taps (outside the level, outside the per-image real rectangle,
+    or the ceil tap falling on the first pad column/row) carry index -1 so
+    the kernel's iota compare never matches — identical zeroing to v4's
+    corner-weight masking.  Row indices are LEVEL-LOCAL (the kernel slices
+    the level first); the attention weight rides the x taps.
+    """
+    n, lq, m, L, p, _ = sampling_locations.shape
+    hs = np.array([h for h, _ in spatial_shapes], np.float32)
+    ws = np.array([w for _, w in spatial_shapes], np.float32)
+
+    px = sampling_locations[..., 0] * ws[None, None, None, :, None] - 0.5
+    py = sampling_locations[..., 1] * hs[None, None, None, :, None] - 0.5
+    x0 = jnp.floor(px).astype(jnp.int32)       # [N, Lq, M, L, P]
+    y0 = jnp.floor(py).astype(jnp.int32)
+    fx = (px - x0).astype(jnp.float32)
+    fy = (py - y0).astype(jnp.float32)
+
+    hmax = hs.astype(np.int32)[None, None, None, :, None]
+    wmax = ws.astype(np.int32)[None, None, None, :, None]
+    if real_hw is not None:
+        hmax = jnp.minimum(hmax, real_hw[..., 0][:, None, None, :, None])
+        wmax = jnp.minimum(wmax, real_hw[..., 1][:, None, None, :, None])
+
+    def taps(i0, imax):
+        i1 = i0 + 1
+        v0 = jnp.where((i0 >= 0) & (i0 < imax), i0, -1)
+        v1 = jnp.where((i1 >= 0) & (i1 < imax), i1, -1)
+        return v0, v1
+
+    y0v, y1v = taps(y0, hmax)
+    x0v, x1v = taps(x0, wmax)
+    a = attention_weights.astype(jnp.float32)   # [N, Lq, M, L, P]
+
+    def pack(t0, t1):
+        # [N, Lq, M, L, P] x2 -> [N, M, 2*L*P, Lq] (pt-major slot pairs)
+        t = jnp.stack([t0, t1], axis=-1).reshape(n, lq, m, L * p * 2)
+        return t.transpose(0, 2, 3, 1)
+
+    yy = pack(y0v, y1v)
+    xx = pack(x0v, x1v)
+    wy = pack(1.0 - fy, fy)
+    wxa = pack((1.0 - fx) * a, fx * a)
+    return yy, xx, wy, wxa
+
+
+def _prepare_corner_v5(spatial_shapes, sampling_locations, attention_weights,
+                       real_hw=None):
+    """Corner-form (idx, weights) against the v5 row-padded strides — the
+    backward path's input (reuses the v4 selector-transpose bwd kernel)."""
+    n, lq, m, L, p, _ = sampling_locations.shape
+    hs = np.array([h for h, _ in spatial_shapes], np.float32)
+    ws = np.array([w for _, w in spatial_shapes], np.float32)
+    starts, dims, _ = _spans_v5(spatial_shapes)
+    st = np.array(starts, np.int32)
+    wps = np.array([wp for _, wp in dims], np.int32)
+
+    px = sampling_locations[..., 0] * ws[None, None, None, :, None] - 0.5
+    py = sampling_locations[..., 1] * hs[None, None, None, :, None] - 0.5
+    ix, iy, wgt, valid = _bilinear_corners(
+        px, py, hs[None, None, None, :, None, None], ws[None, None, None, :, None, None]
+    )  # [N, Lq, M, L, P, 4]
+    ixc = jnp.clip(ix, 0, (ws - 1).astype(np.int32)[None, None, None, :, None, None])
+    iyc = jnp.clip(iy, 0, (hs - 1).astype(np.int32)[None, None, None, :, None, None])
+    flat = (
+        st[None, None, None, :, None, None]
+        + iyc * wps[None, None, None, :, None, None]
+        + ixc
+    )
+    w_total = jnp.where(valid, wgt, 0.0) * attention_weights[..., None]
+    if real_hw is not None:
+        rh = real_hw[..., 0].astype(ix.dtype)[:, None, None, :, None, None]
+        rw = real_hw[..., 1].astype(ix.dtype)[:, None, None, :, None, None]
+        w_total = jnp.where((ixc < rw) & (iyc < rh), w_total, 0.0)
+    c = L * p * 4
+    idx_h = flat.reshape(n, lq, m, c).transpose(0, 2, 1, 3)      # [N, M, Lq, C]
+    w_h = w_total.reshape(n, lq, m, c).transpose(0, 2, 1, 3)
+    return idx_h, w_h
+
+
+def _gather_matmul_kernel_v5(
+    yy_ref, xx_ref, wy_ref, wx_ref, value_ref, out_ref, *, spans5, npts, dhead
+):
+    """One program per IMAGE, separable rank-1 selection accumulation.
+
+    Per (head, level): P fused multiply-adds of rowsel (x) colsel over a
+    TRANSPOSED [H, Wp, Lq] tile (queries on lanes), then one contraction
+    [H*Wp, Lq]^T-dot-[H*Wp, gw] against the head-pair slab slice.  The
+    compares run over [H, Lq] / [Wp, Lq] only.
+    """
+    lq = yy_ref.shape[3]
+    m = yy_ref.shape[1]
+    value = value_ref[0]                        # [S5, C]
+    pairs = _head_pairs(m)
+    accs = [jnp.zeros((lq, dhead * len(heads)), jnp.float32)
+            for _, heads in pairs]
+    for lvl, (st, hl, wp) in enumerate(spans5):
+        sl = hl * wp
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (hl, 1, lq), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wp, lq), 1)
+        vsl = jax.lax.slice_in_dim(value, st, st + sl, axis=0)
+        for gi, (lane0, heads) in enumerate(pairs):
+            gw = dhead * len(heads)
+            vs = jax.lax.slice_in_dim(vsl, lane0 * dhead, lane0 * dhead + gw,
+                                      axis=1)
+            parts = []
+            for h in heads:
+                ya = yy_ref[0, h]               # [2*L*P, Lq]
+                xa = xx_ref[0, h]
+                wya = wy_ref[0, h]
+                wxa = wx_ref[0, h]
+                selm3 = jnp.zeros((hl, wp, lq), jnp.float32)
+                for pt in range(lvl * npts, (lvl + 1) * npts):
+                    def tap(arr, slot):
+                        return jax.lax.slice_in_dim(
+                            arr, slot, slot + 1, axis=0).reshape(1, 1, lq)
+                    rsel = (
+                        jnp.where(row_iota == tap(ya, 2 * pt),
+                                  tap(wya, 2 * pt), 0.0)
+                        + jnp.where(row_iota == tap(ya, 2 * pt + 1),
+                                    tap(wya, 2 * pt + 1), 0.0)
+                    )                            # [hl, 1, lq]
+                    csel = (
+                        jnp.where(col_iota == tap(xa, 2 * pt),
+                                  tap(wxa, 2 * pt), 0.0)
+                        + jnp.where(col_iota == tap(xa, 2 * pt + 1),
+                                    tap(wxa, 2 * pt + 1), 0.0)
+                    )                            # [1, wp, lq]
+                    selm3 = selm3 + rsel * csel
+                selm = selm3.reshape(sl, lq)     # layout-free: wp % 8 == 0
+                parts.append(jax.lax.dot_general(
+                    selm.astype(value.dtype), vs, (((0,), (0,)), ((), ())),
+                    precision=_precision_for(value.dtype),
+                    preferred_element_type=jnp.float32,
+                ))                               # [Lq, gw]
+            if len(parts) == 2:                  # head h valid in its d-lanes
+                lane = jax.lax.broadcasted_iota(jnp.int32, (lq, gw), 1)
+                part = jnp.where(lane < dhead, parts[0], parts[1])
+            else:
+                part = parts[0]
+            accs[gi] = accs[gi] + part
+    for gi, (lane0, heads) in enumerate(pairs):
+        gw = dhead * len(heads)
+        out_ref[0, :, lane0 * dhead:lane0 * dhead + gw] = accs[gi].astype(
+            out_ref.dtype)
+
+
+def _gather_call_v5(yy, xx, wy, wxa, value, spans5, npts, dhead):
+    n, m, c2, lq = yy.shape
+    s_pad, c = value.shape[1], value.shape[2]
+    kernel = functools.partial(
+        _gather_matmul_kernel_v5, spans5=spans5, npts=npts, dhead=dhead
+    )
+    tap_spec = pl.BlockSpec((1, m, c2, lq), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            tap_spec, tap_spec, tap_spec, tap_spec,
+            pl.BlockSpec((1, s_pad, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lq, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, lq, c), value.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * lq * sum(h * wp for _, h, wp in spans5) * 2 * dhead,
+            bytes_accessed=4 * (value.size + 2 * yy.size + 2 * wy.size
+                                + n * lq * c),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(yy, xx, wy, wxa, value)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _gather_op_v5(yy, xx, wy, wxa, idx_h, w_h, value, spans5, npts, dhead):
+    return _gather_call_v5(yy, xx, wy, wxa, value, spans5, npts, dhead)
+
+
+def _gather_fwd_v5(yy, xx, wy, wxa, idx_h, w_h, value, spans5, npts, dhead):
+    out = _gather_call_v5(yy, xx, wy, wxa, value, spans5, npts, dhead)
+    return out, (idx_h, w_h, value)
+
+
+def _gather_bwd_v5(spans5, npts, dhead, residuals, dout):
+    """Reuses the v4 selector-transpose bwd kernel on v5-stride corner form.
+
+    The corner-form path carries the COMPLETE gradient (it is exactly the
+    v4 production gradient of the same function), so the separable forward
+    operands get zero cotangents and the chain through _prepare_sep_v5
+    contributes nothing — d(loc)/d(attn) flow via _prepare_corner_v5 alone.
+    """
+    idx_h, w_h, value = residuals
+    n, m, lq, c = idx_h.shape
+    s_pad, cc = value.shape[1], value.shape[2]
+    spans = tuple((st, h * wp) for st, h, wp in spans5)
+    kernel = functools.partial(
+        _gather_bwd_kernel_v4, spans=spans, spl=npts * 4, dhead=dhead
+    )
+    dw, dval = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, m, lq, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, lq, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lq, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m, lq, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, m, lq, c), w_h.dtype),
+            jax.ShapeDtypeStruct((n, s_pad, cc), value.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * m * lq * sum(sz for _, sz in spans) * 2 * dhead,
+            bytes_accessed=8 * (value.size + idx_h.size + w_h.size),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(idx_h, w_h, value, dout)
+    dyy = np.zeros((n, m, c // 2, lq), jax.dtypes.float0)
+    dwy = jnp.zeros((n, m, c // 2, lq), jnp.float32)
+    return dyy, dyy, dwy, dwy, np.zeros(idx_h.shape, jax.dtypes.float0), dw, dval
+
+
+_gather_op_v5.defvjp(_gather_fwd_v5, _gather_bwd_v5)
+
+
+def ms_deform_attn_pallas_v5(
+    value, spatial_shapes, sampling_locations, attention_weights, real_hw=None
+):
+    """MSDA on a v5-relaid [N, S5, C] value slab (relay_value_v5) -> [N, Lq, C]."""
+    n, s_pad, c = value.shape
+    _, lq, m, L, p, _ = sampling_locations.shape
+    dhead = c // m
+    starts, dims, s_pad_want = _spans_v5(spatial_shapes)
+    if s_pad != s_pad_want:
+        raise ValueError(
+            f"value slab has {s_pad} rows; v5 spans want {s_pad_want} "
+            "(pass it through relay_value_v5 first)"
+        )
+    yy, xx, wy, wxa = _prepare_sep_v5(
+        spatial_shapes, sampling_locations, attention_weights, real_hw=real_hw
+    )
+    idx_h, w_h = _prepare_corner_v5(
+        spatial_shapes, sampling_locations, attention_weights, real_hw=real_hw
+    )
+    spans5 = tuple((st, h, wp) for st, (h, wp) in zip(starts, dims))
+    return _gather_op_v5(yy, xx, wy, wxa, idx_h, w_h, value, spans5, p, dhead)

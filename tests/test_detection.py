@@ -580,7 +580,13 @@ class TestMSDAImplResolution:
             m[:, :, (2 * w) // 3:] = True
             mask[:, off:off + h * w] = m.reshape(b, -1)
             off += h * w
-        mask = jnp.asarray(mask)
+        # honor the module contract: src/mask arrive RELAID (identity for
+        # the v4 layout at these 8-aligned shapes; a real re-lay under
+        # GRIT_MSDA_V5's row-padded layout)
+        from grit_tpu.ops.msda_pallas import relay_mask, relay_value
+
+        src = relay_value(src, shapes)
+        mask = relay_mask(jnp.asarray(mask), shapes)
         outs = {}
         for impl in ("flat", "reference"):
             mod = MSDeformAttnModule(

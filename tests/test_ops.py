@@ -195,11 +195,12 @@ class TestMSDA:
                 err_msg=f"grad mismatch for {name}",
             )
 
-    def test_pallas_v4_relaid_matches_reference_interpret(self, msda_inputs):
+    def test_pallas_v4_relaid_matches_reference_interpret(self, msda_inputs, monkeypatch):
         """The v4 relaid-slab kernel (natural [N, S_pad, C] value layout, one
         program per image, in-kernel head pairs) vs the oracle.  The fixture's
         level sizes (24, 6, 4) are NOT all multiples of 8, so this also
         exercises the hoisted relay path."""
+        monkeypatch.setenv("GRIT_MSDA_V5", "0")  # pin the v4 layout under test
         from unittest import mock
 
         from jax.experimental import pallas as pl
@@ -223,10 +224,11 @@ class TestMSDA:
             )
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
-    def test_pallas_v4_corner_weight_padding_mask(self, msda_inputs):
+    def test_pallas_v4_corner_weight_padding_mask(self, msda_inputs, monkeypatch):
         """real_hw corner-weight masking == pre-masking the value slab (the
         reference's padded-position zeroing), exercised with a nontrivial
         per-image pad rectangle at every level."""
+        monkeypatch.setenv("GRIT_MSDA_V5", "0")  # pin the v4 layout under test
         from unittest import mock
 
         from jax.experimental import pallas as pl
@@ -264,9 +266,10 @@ class TestMSDA:
                 relaid, shapes, loc, w, real_hw=jnp.asarray(real)))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
-    def test_pallas_v4_aligned_no_relay(self, msda_inputs):
+    def test_pallas_v4_aligned_no_relay(self, msda_inputs, monkeypatch):
         """When every level size is a multiple of 8 the relay is an identity
         (the production 384x640 pyramid case) and parity still holds."""
+        monkeypatch.setenv("GRIT_MSDA_V5", "0")  # pin the v4 layout under test
         from unittest import mock
 
         from jax.experimental import pallas as pl
@@ -293,9 +296,10 @@ class TestMSDA:
             out = np.asarray(mp.ms_deform_attn_pallas_relaid(flat, shapes, loc, w))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
-    def test_pallas_v4_grads(self, msda_inputs):
+    def test_pallas_v4_grads(self, msda_inputs, monkeypatch):
         """v4 backward kernel (pair-merged dValue, masked-half dW) matches
         direct autodiff of the XLA formulation through the relay."""
+        monkeypatch.setenv("GRIT_MSDA_V5", "0")  # pin the v4 layout under test
         from unittest import mock
 
         from jax.experimental import pallas as pl
@@ -337,6 +341,111 @@ class TestMSDA:
         relaid = relay_value(value.reshape(n, s, m * d), shapes)
         out = np.asarray(ms_deform_attn_relaid(relaid, shapes, loc, w, m, impl="flat"))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_v5_matches_reference_interpret(self, msda_inputs, monkeypatch):
+        """v5 separable-selection kernel vs the oracle: the fixture widths
+        (4, 2, 2) all pad to Wp=8, exercising the row-padded relay, the
+        pad-column -1 taps, and the x0+1==W ceil-tap edge."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        monkeypatch.setenv("GRIT_MSDA_V5", "1")
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+        assert mp.needs_relay(shapes)
+        relaid = mp.relay_value(value.reshape(n, s, m * d), shapes)
+        assert relaid.shape[1] == mp._spans_v5(shapes)[2]
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            out = np.asarray(mp.ms_deform_attn_pallas_relaid(relaid, shapes, loc, w))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        # and the relay round-trips
+        back = np.asarray(mp.unrelay_value(relaid, shapes))
+        np.testing.assert_array_equal(
+            back, np.asarray(value.reshape(n, s, m * d)))
+
+    def test_pallas_v5_corner_weight_padding_mask(self, msda_inputs, monkeypatch):
+        """v5 real_hw masking (invalid taps -> -1) == pre-masking the value
+        slab, with a nontrivial per-image pad rectangle at every level."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        monkeypatch.setenv("GRIT_MSDA_V5", "1")
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        real = np.array(
+            [[[h - min(2, h - 1), wd - 1] for h, wd in shapes],
+             [[h, wd] for h, wd in shapes]], np.int32
+        )  # [N, L, 2]
+        vm = np.asarray(value).copy()
+        off = 0
+        for lvl, (h, wd) in enumerate(shapes):
+            grid = vm[:, off:off + h * wd].reshape(n, h, wd, m, d)
+            for i in range(n):
+                rh, rw = real[i, lvl]
+                grid[i, rh:, :, :, :] = 0.0
+                grid[i, :, rw:, :, :] = 0.0
+            off += h * wd
+        ref = np.asarray(ms_deform_attn_reference(jnp.asarray(vm), shapes, loc, w))
+
+        relaid = mp.relay_value(value.reshape(n, s, m * d), shapes)  # UNMASKED
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            out = np.asarray(mp.ms_deform_attn_pallas_relaid(
+                relaid, shapes, loc, w, real_hw=jnp.asarray(real)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_v5_grads(self, msda_inputs, monkeypatch):
+        """v5 backward (v4 selector-transpose kernel on v5-stride corner
+        form; zero cotangents for the separable operands) matches direct
+        autodiff of the XLA formulation for ALL of (value, loc, attn)."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        monkeypatch.setenv("GRIT_MSDA_V5", "1")
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        def loss_v5(v, l, a):
+            relaid = mp.relay_value(v.reshape(n, s, m * d), shapes)
+            return jnp.sum(mp.ms_deform_attn_pallas_relaid(relaid, shapes, l, a) ** 2)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            g_p = jax.grad(loss_v5, argnums=(0, 1, 2))(value, loc, w)
+        g_x = jax.grad(
+            lambda v, l, a: jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2),
+            argnums=(0, 1, 2),
+        )(value, loc, w)
+        for name, gp, gx in zip(["value", "loc", "attn"], g_p, g_x):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-5,
+                err_msg=f"grad mismatch for {name}",
+            )
 
     def test_grit_sizes_smoke(self):
         # GRIT production sizes: L=4 levels of a 384x640 image, M=8, D=64, Lq=150
