@@ -65,9 +65,21 @@ def _dense_wb(d: nn.Dense):
 # d_k summation per layout) — decision parity asserted by TestKVHsplit.
 _KV_HSPLIT = os.environ.get("GRIT_DECODE_KV_HSPLIT", "0") == "1"
 
+# GRIT_VIS_KV_HSPLIT: head-split ONLY the loop-invariant visual K/V (not the
+# self-attention caches).  The full GRIT_DECODE_KV_HSPLIT lost its chip A/B
+# (274.3 vs 294.9) because the cache scatter moved to a middle dim and the
+# beam-reorder gather walked a 4-D cache — both per step; the VISUAL K/V
+# half has neither cost (no writes, no reorder) and removes the 6 layout
+# copies/step the b128 trace charged to the grid K/V re-lay inside the scan.
+_VIS_KV_HSPLIT = os.environ.get("GRIT_VIS_KV_HSPLIT", "0") == "1"
+
 
 def kv_hsplit_enabled() -> bool:
     return _KV_HSPLIT
+
+
+def vis_kv_hsplit_enabled() -> bool:
+    return _VIS_KV_HSPLIT or _KV_HSPLIT
 
 
 KVCache = tuple[jnp.ndarray, jnp.ndarray]
@@ -187,6 +199,23 @@ class Attention(nn.Module):
         p = self.attn_drop(p, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(bq, nq, self.d_model)
         return self.fc_o(out)
+
+    def project_kv_vis(self, k: jnp.ndarray, v: jnp.ndarray) -> KVCache:
+        """Project the loop-invariant visual K/V for the decode scan.
+
+        Head-split [B, H, S, Dh] under GRIT_VIS_KV_HSPLIT (or the full
+        GRIT_DECODE_KV_HSPLIT): materialized ONCE outside the scan in the
+        layout the in-scan score/value dots consume — the flat layout was
+        re-laid by XLA every step (6 copies/step on the grid K/V at b128)."""
+        if vis_kv_hsplit_enabled() and self.n_memories == 0:
+            d_k = self.d_model // self.n_heads
+
+            def split4(x):
+                b, s, _ = x.shape
+                return x.reshape(b, s, self.n_heads, d_k).transpose(0, 2, 1, 3)
+
+            return split4(self.fc_k(k)), split4(self.fc_v(v))
+        return self.project_kv(k, v)
 
     def project_kv(self, k: jnp.ndarray, v: jnp.ndarray) -> KVCache:
         """Apply fc_k/fc_v only (for writing projected entries into a KV cache)."""

@@ -38,6 +38,7 @@ from grit_tpu.models.attention import (
     kv_hsplit_enabled,
     merged_proj_enabled,
 )
+from grit_tpu.ops.decode_layer import fused_decode_tail_applicable
 from grit_tpu.ops.posemb import sinusoid_encoding_table
 
 DecodeCache = dict  # {'layers': tuple[KVCache, ...], 'pad_hist': [B, T] bool}
@@ -91,8 +92,8 @@ class ParallelAttentionLayer(nn.Module):
     def precompute_vis_kv(self, y1, y2):
         """Project the (step-invariant) visual K/V once before decoding."""
         return {
-            "att1": self.vis_att1.attention.project_kv(y1, y1),
-            "att2": self.vis_att2.attention.project_kv(y2, y2),
+            "att1": self.vis_att1.attention.project_kv_vis(y1, y1),
+            "att2": self.vis_att2.attention.project_kv_vis(y2, y2),
         }
 
     def decode(self, x, y1, y2, mask_pad, mask_x, mask_y1, mask_y2, cache, cache_index,
@@ -102,6 +103,16 @@ class ParallelAttentionLayer(nn.Module):
             cache=cache, cache_index=cache_index,
         )
         self_att = self_att * mask_pad
+        if (
+            vis_kv is not None
+            and deterministic
+            and self.n_memories == 0
+            and fused_decode_tail_applicable(vis_kv)
+            and not self.is_initializing()
+        ):
+            return self._fused_tail(
+                self_att, vis_kv, mask_pad, mask_y1, mask_y2, vis_fold
+            ), cache
         if vis_kv is not None:
             # visual K/V precomputed once per image (they never change across
             # decode steps) — the per-step cross-attention collapses to one
@@ -134,6 +145,47 @@ class ParallelAttentionLayer(nn.Module):
             enc2 = self.vis_att2(self_att, y2, y2, mask_y2, deterministic=deterministic,
                                  kv_fold=vis_fold) * mask_pad
         return self._fuse(self_att, enc1, enc2, mask_pad, deterministic=deterministic), cache
+
+    def _fused_tail(self, self_att, vis_kv, mask_pad, mask_y1, mask_y2, vis_fold):
+        """GRIT_DECODE_FUSED_LAYER: the whole post-self-attention tail (two
+        cross attentions + gates + FFN + three LayerNorms) as ONE Pallas
+        program per image block — the decode scan is launch-latency-bound
+        (~35 XLA ops per layer per step at ~5% MFU).  Weights are read from
+        the same submodules the XLA path uses; the alpha-gate concat matmul
+        splits into two dots (f32 summation order is the only difference)."""
+        from grit_tpu.ops.decode_layer import fused_decode_layer_tail
+
+        k1, v1 = vis_kv["att1"]
+        k2, v2 = vis_kv["att2"]
+        a1, a2 = self.vis_att1.attention, self.vis_att2.attention
+        d = self.d_model
+        wa1, ba1 = _dense_wb(self.fc_alpha1)
+        alpha2_mod = self.fc_alpha1 if self.replicate_alpha_bug else self.fc_alpha2
+        wa2, ba2 = _dense_wb(alpha2_mod)
+        pwp = self.pwff.variables["params"]
+
+        def ln_wb(mod):
+            p = mod.variables["params"]["layer_norm"]
+            return p["scale"], p["bias"]
+
+        def cast(w):
+            return w.astype(self.dtype) if self.dtype is not None else w
+
+        weights = (
+            *(cast(t) for t in (*_dense_wb(a1.fc_q), *_dense_wb(a1.fc_o))),
+            *ln_wb(self.vis_att1),
+            *(cast(t) for t in (*_dense_wb(a2.fc_q), *_dense_wb(a2.fc_o))),
+            *ln_wb(self.vis_att2),
+            cast(wa1[:d]), cast(wa1[d:]), cast(ba1),
+            cast(wa2[:d]), cast(wa2[d:]), cast(ba2),
+            cast(pwp["fc1"]["kernel"]), cast(pwp["fc1"]["bias"]),
+            cast(pwp["fc2"]["kernel"]), cast(pwp["fc2"]["bias"]),
+            pwp["layer_norm"]["scale"], pwp["layer_norm"]["bias"],
+        )
+        return fused_decode_layer_tail(
+            self_att, k1, v1, mask_y1, k2, v2, mask_y2, mask_pad, weights,
+            fold=vis_fold, n_heads=self.n_heads,
+        )
 
 
 class SequentialAttentionLayer(nn.Module):

@@ -102,6 +102,15 @@ _TRAIN_STEP_KERNEL = os.environ.get("GRIT_TRAIN_STEP_KERNEL", "0") == "1"
 # convert_reduce/copy chains, ~6-10 ms at b128 eval).  Off pending chip A/B.
 _FUSED_MERGE = os.environ.get("GRIT_FUSED_MERGE", "0") == "1"
 
+# GRIT_PATCH_S2D: evaluate the non-overlapping patch-embed conv as
+# space-to-depth + one [rows, kh*kw*cin] x [kh*kw*cin, C] matmul.  The conv
+# has C_in=3, so XLA's conv-as-matmul lowering runs the MXU at a ~3/128
+# contraction-dim utilization (11.7 ms of the b128 eval trace for 24 GFLOP
+# of work); flattening the 4x4 patch into the contraction dim raises it to
+# 48/128.  Same weights (kernel reshaped at use), same math up to f32
+# summation order.
+_PATCH_S2D = os.environ.get("GRIT_PATCH_S2D", "0") == "1"
+
 
 class _LayerNormParams(nn.Module):
     """LayerNorm-compatible param container for kernel paths."""
@@ -612,15 +621,31 @@ class SwinTransformer(nn.Module):
         # under global clipping (round-2 vdet3; docs/NOTES.md round 3).
         fan_in = self.patch_size * self.patch_size * images.shape[-1]
         bound = float(fan_in) ** -0.5
-        x = nn.Conv(
+        conv = nn.Conv(
             self.embed_dim, (self.patch_size, self.patch_size),
             strides=(self.patch_size, self.patch_size),
             bias_init=lambda key, shape, dtype=jnp.float32: jax.random.uniform(
                 key, shape, dtype, -bound, bound),
             name="patch_embed_proj", dtype=self.dtype,
-        )(images)
-        wh, ww = x.shape[1], x.shape[2]
-        x = x.reshape(b, wh * ww, self.embed_dim)
+        )
+        ps, cin = self.patch_size, images.shape[-1]
+        wh, ww = h // ps, w // ps
+        if _PATCH_S2D and not self.is_initializing():
+            # space-to-depth + matmul (see _PATCH_S2D above); params stay
+            # conv-shaped ([kh, kw, cin, C]) for checkpoint parity — the
+            # dummy call keeps them alive, XLA DCEs it
+            conv(jnp.zeros((1, ps, ps, cin), images.dtype))
+            p = conv.variables["params"]
+            kern, bias = p["kernel"], p["bias"]
+            xs = images.reshape(b, wh, ps, ww, ps, cin)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, wh * ww, ps * ps * cin)
+            wmat = kern.reshape(ps * ps * cin, self.embed_dim)
+            if self.dtype is not None:
+                xs = xs.astype(self.dtype)
+                wmat, bias = wmat.astype(self.dtype), bias.astype(self.dtype)
+            x = xs @ wmat + bias
+        else:
+            x = conv(images).reshape(b, wh * ww, self.embed_dim)
         if self.fused_attn and _FUSED_MERGE:
             # one-pass LN kernel: no f32 copy of the whole map in HBM
             from grit_tpu.ops.window_attention import fused_layernorm

@@ -173,6 +173,39 @@ class TestKVHsplit:
         lps_split = drive(True)
         for a, b in zip(lps_flat, lps_split):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_vis_only_head_split_matches_flat(self, model_and_params, monkeypatch):
+        """GRIT_VIS_KV_HSPLIT: head-splitting ONLY the loop-invariant visual
+        K/V (self-attention caches stay flat [B, T, D]) computes the same
+        attention — same dots/contraction dims, parity to fp32 rounding."""
+        import grit_tpu.models.attention as attention_mod
+
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        tok0 = jnp.full((2, 1), BOS, jnp.int32)
+
+        def drive(vis_hsplit):
+            monkeypatch.setattr(attention_mod, "_VIS_KV_HSPLIT", vis_hsplit)
+            kv = model.apply(params, vis, method="precompute_vis_kv")
+            if vis_hsplit:  # the visual K/V really is head-split...
+                assert jax.tree.leaves(kv)[0].ndim == 4
+            cache = model.apply(params, 2, MAXLEN, method="init_cache")
+            # ...and the self-attention cache really stays flat
+            assert jax.tree.leaves(cache)[0].ndim == 3
+            tok, lps = tok0, []
+            for t in range(4):
+                lp, cache = model.apply(
+                    params, tok, jnp.asarray(t), vis, cache,
+                    method="decode_step", vis_kv=kv,
+                )
+                lps.append(np.asarray(lp))
+                tok = jnp.argmax(lp, -1)[:, None].astype(jnp.int32)
+            return lps
+
+        lps_flat = drive(False)
+        lps_split = drive(True)
+        for a, b in zip(lps_flat, lps_split):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
             np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
 
     def test_beam_search_equal_across_layouts(self, model_and_params, monkeypatch):
@@ -378,3 +411,81 @@ class TestBatchingInvariance:
             np.asarray(res_pair.scores[0]), np.asarray(res_solo.scores[0]),
             rtol=1e-4, atol=1e-5,
         )
+
+
+class TestFusedDecodeTail:
+    def _interp(self):
+        from unittest import mock
+
+        import grit_tpu.ops.decode_layer as dl
+
+        orig = dl.pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        return mock.patch.object(dl.pl, "pallas_call", interp)
+
+    def test_fused_tail_matches_xla_path(self, model_and_params, monkeypatch):
+        """GRIT_DECODE_FUSED_LAYER: one Pallas program for the decode layer's
+        post-self-attention tail == the XLA op sequence (log-prob parity;
+        the gate concat-matmul split is the only f32 reassociation)."""
+        monkeypatch.setenv("GRIT_DECODE_FUSED_LAYER", "0")
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        tok0 = jnp.full((2, 1), BOS, jnp.int32)
+
+        def drive(flag):
+            monkeypatch.setenv("GRIT_DECODE_FUSED_LAYER", "1" if flag else "0")
+            kv = model.apply(params, vis, method="precompute_vis_kv")
+            cache = model.apply(params, 2, MAXLEN, method="init_cache")
+            tok, lps = tok0, []
+            with self._interp():
+                for t in range(4):
+                    lp, cache = model.apply(
+                        params, tok, jnp.asarray(t), vis, cache,
+                        method="decode_step", vis_kv=kv,
+                    )
+                    lps.append(np.asarray(lp))
+                    tok = jnp.argmax(lp, -1)[:, None].astype(jnp.int32)
+            return lps
+
+        lps_off = drive(False)
+        lps_on = drive(True)
+        for a, b in zip(lps_off, lps_on):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_fused_tail_grads(self, model_and_params, monkeypatch):
+        """The recompute backward (SCST differentiates through the decode
+        scan): param grads through the fused tail == the XLA path's."""
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        tok0 = jnp.full((2, 1), BOS, jnp.int32)
+
+        def loss(p, flag):
+            monkeypatch.setenv("GRIT_DECODE_FUSED_LAYER", "1" if flag else "0")
+            kv = model.apply(p, vis, method="precompute_vis_kv")
+            cache = model.apply(p, 2, MAXLEN, method="init_cache")
+            lp, _ = model.apply(
+                p, tok0, jnp.asarray(0), vis, cache,
+                method="decode_step", vis_kv=kv,
+            )
+            return jnp.sum(lp[:, :7] ** 2)
+
+        with self._interp():
+            g_on = jax.grad(lambda p: loss(p, True))(params)
+        g_off = jax.grad(lambda p: loss(p, False))(params)
+        flat_on = jax.tree_util.tree_leaves_with_path(g_on)
+        flat_off = {jax.tree_util.keystr(k): v
+                    for k, v in jax.tree_util.tree_leaves_with_path(g_off)}
+        checked = 0
+        for k, v in flat_on:
+            ks = jax.tree_util.keystr(k)
+            if any(s in ks for s in ("vis_att", "fc_alpha", "pwff")):
+                np.testing.assert_allclose(
+                    np.asarray(v), np.asarray(flat_off[ks]),
+                    rtol=2e-3, atol=1e-5, err_msg=ks,
+                )
+                checked += 1
+        assert checked >= 10

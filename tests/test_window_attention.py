@@ -74,6 +74,37 @@ def test_custom_vjp_matches_unfused_grads(shape):
         )
 
 
+def test_patch_embed_s2d_parity(monkeypatch):
+    """GRIT_PATCH_S2D: space-to-depth + matmul patch embed == the conv, on
+    the same conv-shaped params (kernel reshaped at use), fwd AND grads."""
+    import grit_tpu.models.swin as swin_mod
+    from grit_tpu.models.swin import SwinTransformer
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 48, 3))
+    m = SwinTransformer(embed_dim=8, depths=(2, 2), num_heads=(2, 2), window=4,
+                        drop_path_rate=0.0, pos_dim=16, fused_attn=False)
+    params = m.init(jax.random.PRNGKey(1), x)
+
+    def loss(p, flag):
+        monkeypatch.setattr(swin_mod, "_PATCH_S2D", flag)
+        return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in m.apply(p, x))
+
+    outs = {}
+    grads = {}
+    for flag in (False, True):
+        monkeypatch.setattr(swin_mod, "_PATCH_S2D", flag)
+        outs[flag] = [np.asarray(o) for o in m.apply(params, x)]
+        grads[flag] = jax.grad(lambda p: loss(p, flag))(params)
+    for a, b_ in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-5)
+    ga = grads[True]["params"]["patch_embed_proj"]
+    gb = grads[False]["params"]["patch_embed_proj"]
+    np.testing.assert_allclose(np.asarray(ga["kernel"]), np.asarray(gb["kernel"]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga["bias"]), np.asarray(gb["bias"]),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_swin_model_fused_flag_parity():
     """Tiny Swin with fused_attn on (interpret) vs off — same outputs."""
     from grit_tpu.models.swin import SwinTransformer
