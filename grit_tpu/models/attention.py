@@ -71,7 +71,7 @@ _KV_HSPLIT = os.environ.get("GRIT_DECODE_KV_HSPLIT", "0") == "1"
 # beam-reorder gather walked a 4-D cache — both per step; the VISUAL K/V
 # half has neither cost (no writes, no reorder) and removes the 6 layout
 # copies/step the b128 trace charged to the grid K/V re-lay inside the scan.
-_VIS_KV_HSPLIT = os.environ.get("GRIT_VIS_KV_HSPLIT", "0") == "1"
+_VIS_KV_HSPLIT = os.environ.get("GRIT_VIS_KV_HSPLIT", "1") == "1"
 
 
 def kv_hsplit_enabled() -> bool:

@@ -109,7 +109,7 @@ _FUSED_MERGE = os.environ.get("GRIT_FUSED_MERGE", "0") == "1"
 # of work); flattening the 4x4 patch into the contraction dim raises it to
 # 48/128.  Same weights (kernel reshaped at use), same math up to f32
 # summation order.
-_PATCH_S2D = os.environ.get("GRIT_PATCH_S2D", "0") == "1"
+_PATCH_S2D = os.environ.get("GRIT_PATCH_S2D", "1") == "1"
 
 
 class _LayerNormParams(nn.Module):
