@@ -310,6 +310,65 @@ class TestBeamSearch:
         np.testing.assert_array_equal(
             np.asarray(outs[0].log_probs), np.asarray(outs[1].log_probs))
 
+    def test_early_exit_bit_equal(self, model_and_params, monkeypatch):
+        """GRIT_DECODE_EARLY_EXIT (while_loop terminating when every beam is
+        EOS-frozen) must be bit-equal to the fixed-length scan on the real
+        model path — sequences, scores, AND per-step log-probs."""
+        import importlib
+
+        bs = importlib.import_module("grit_tpu.decoding.beam_search")
+
+        model, params, imgs, _ = model_and_params
+        vis = model.apply(params, imgs, method="compute_vis")
+        fn = self._decode_fn(model, params)
+        outs = []
+        for flag in (False, True):
+            monkeypatch.setattr(bs, "_EARLY_EXIT", flag)
+            cache = model.apply(params, 2 * 3, MAXLEN, method="init_cache")
+            outs.append(bs.beam_search(fn, cache, vis, 2, 3, MAXLEN, BOS, EOS,
+                                       out_size=3))
+        for field in ("sequences", "scores", "log_probs"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(outs[0], field)),
+                np.asarray(getattr(outs[1], field)), err_msg=field)
+
+    def test_early_exit_forced_eos_bit_equal(self, monkeypatch):
+        """Synthetic decoder that drives every beam to EOS by step 3, so the
+        while_loop really does stop early — results must stay bit-identical
+        to the full scan, including the skipped steps' token-0 / logp-0 /
+        beam-sort bookkeeping."""
+        import importlib
+
+        bs = importlib.import_module("grit_tpu.decoding.beam_search")
+        V, b, k, T = 9, 2, 3, 12
+
+        def fn(token, t, vis, cache):
+            bbk = token.shape[0]
+            # distinct per-row preferences early; EOS dominant from t >= 2
+            row = jnp.arange(bbk)[:, None]
+            word = jnp.arange(V)[None, :]
+            logits = jnp.sin(0.7 * (row + 1) * (word + 1) + 0.3 * t)
+            logits = jnp.where(
+                (t >= 2) & (word == EOS), 50.0, logits
+            )
+            cache = cache + 1
+            return jax.nn.log_softmax(logits, -1), cache
+
+        outs = []
+        for flag in (False, True):
+            monkeypatch.setattr(bs, "_EARLY_EXIT", flag)
+            cache = jnp.zeros((b * k, 1), jnp.int32)
+            outs.append(bs.beam_search(fn, cache, None, b, k, T, BOS, EOS,
+                                       out_size=k))
+        seqs = np.asarray(outs[0].sequences)
+        # every beam really froze well before T (EOS by step 3)
+        assert (seqs == EOS).any(-1).all()
+        assert (seqs[..., 4:] == 0).all()
+        for field in ("sequences", "scores", "log_probs"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(outs[0], field)),
+                np.asarray(getattr(outs[1], field)), err_msg=field)
+
     def test_beam_jits(self, model_and_params):
         model, params, imgs, _ = model_and_params
         fn = self._decode_fn(model, params)
