@@ -118,3 +118,88 @@ class TestPadTargets:
         targets = [{"labels": np.arange(10), "boxes": np.random.rand(10, 4)}]
         out = pad_targets(targets, max_boxes=4)
         assert out["valid"].sum() == 4
+
+
+class TestLMDB:
+    """Drive the LMDB image-storage branch (datasets.py lazy txn,
+    reference datasets/detection/base.py:33-61) through __getitem__.
+
+    The real ``lmdb`` package is absent from this image, so the test
+    injects a stub module exposing the exact interface the dataset uses
+    (``lmdb.open(path, readonly, lock, readahead)`` -> env with
+    ``begin(write=False)`` context manager -> ``txn.get(key) -> bytes``),
+    keyed by str(image_id) like the reference LMDB layout.
+    """
+
+    def _install_fake_lmdb(self, monkeypatch, store, opened):
+        import contextlib
+        import sys
+        import types
+
+        class _Txn:
+            def get(self, key):
+                return store.get(key)
+
+        class _Env:
+            @contextlib.contextmanager
+            def begin(self, write=False):
+                assert write is False
+                yield _Txn()
+
+        fake = types.ModuleType("lmdb")
+
+        def _open(path, readonly=True, lock=False, readahead=False):
+            assert readonly and not lock
+            opened.append(path)
+            return _Env()
+
+        fake.open = _open
+        monkeypatch.setitem(sys.modules, "lmdb", fake)
+
+    def _encoded(self, color):
+        from io import BytesIO
+
+        buf = BytesIO()
+        Image.new("RGB", (100, 80), color).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    def test_lmdb_getitem_lazy_open(self, det_root, monkeypatch):
+        root, ann_file = det_root
+        store = {str(i).encode(): self._encoded((i * 50, 100, 150))
+                 for i in range(3)}
+        opened = []
+        self._install_fake_lmdb(monkeypatch, store, opened)
+
+        ds = DetectionDataset(ann_file, lmdb_path="/fake/lmdb")
+        assert opened == []  # lazy: nothing opened at construction
+        img, target = ds[1]
+        assert opened == ["/fake/lmdb"]  # opened exactly once, on first read
+        assert img.size == (100, 80) and img.mode == "RGB"
+        assert target["boxes"].shape == (2, 4)
+        _ = ds[2]
+        assert opened == ["/fake/lmdb"]  # env cached across items
+
+    def test_lmdb_corrupt_sample_resamples(self, det_root, monkeypatch):
+        """A corrupt LMDB value must trigger the resample-on-exception path
+        (base.py:49-61) and still return a valid item."""
+        import random as pyrandom
+
+        root, ann_file = det_root
+        store = {str(i).encode(): self._encoded((0, 100, 150))
+                 for i in range(3)}
+        store[b"1"] = b"not a jpeg"  # corrupt one entry
+        self._install_fake_lmdb(monkeypatch, store, [])
+
+        ds = DetectionDataset(ann_file, lmdb_path="/fake/lmdb")
+        pyrandom.seed(0)  # make the resample index deterministic
+        img, target = ds[1]  # corrupt -> resampled to some healthy id
+        assert img.size == (100, 80)
+        assert int(target["image_id"]) in (0, 2)
+
+    def test_lmdb_all_corrupt_raises(self, det_root, monkeypatch):
+        root, ann_file = det_root
+        store = {str(i).encode(): b"garbage" for i in range(3)}
+        self._install_fake_lmdb(monkeypatch, store, [])
+        ds = DetectionDataset(ann_file, lmdb_path="/fake/lmdb")
+        with pytest.raises(RuntimeError, match="corrupt"):
+            _ = ds[0]
