@@ -985,15 +985,24 @@ def rollfree_enabled() -> bool:
 
 
 def _band_kernel(
-    x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     wp_ref, bp_ref, bias_ref, out_ref, *rest,
-    scale, g, d, n_groups, win, nwx, m, save_attn, eps,
+    scale, g, d, n_groups, gpp, win, nwx, m, save_attn, eps,
     real_h, real_w, hp, wp, shift, residual, wide, delta_c=0,
 ):
-    """One (window-row, image, head-group) program of the fused block step.
+    """One (window-row, image, head-group-CHUNK) program of the fused step.
 
-    x/out refs: [1, win, Wp, C]; bias_ref: [1, nwx|1, 1, N, g*N] (wide) or
-    [1, nwx|1, g, N, N] (tall); scratch acc/xn: [win, Wp, C].
+    ``gpp`` head groups are processed per program (r5: the old one-group
+    grid re-DMA'd the qkv/proj columns and the f32 bias block every single
+    program — hg was the innermost grid axis — which at stage 3 was ~1.9 GB
+    of weight traffic per block-attention vs a 0.3 GB floor; with all
+    groups in one program the weight/bias block indices are constant and
+    Mosaic fetches them once, and each band row is read once instead of
+    ``n_groups`` times).
+
+    x/out refs: [1, win, Wp, C]; wqkv_ref: [1, C, 3*gpp*g*d] with per-chunk
+    column layout [q | k | v]; bias_ref: [1, nwx|1, gpp, N, g*N] (wide) or
+    [1, nwx|1, gpp*g, N, N] (tall); scratch acc/xn: [win, Wp, C].
 
     Roll-free mode (``delta_c`` != 0): the band's rows arrive as TWO
     half-window refs [1, win//2, Wp, C] (x_ref is that pair) fetched at a
@@ -1011,6 +1020,8 @@ def _band_kernel(
     n = win * win
     c = (x_top_ref if rollfree else x_ref).shape[3]
     gd = g * d
+    gpd = gpp * gd
+    n_chunks = n_groups // gpp
     wy = pl.program_id(0)
     hg = pl.program_id(2)
 
@@ -1056,19 +1067,18 @@ def _band_kernel(
     # temporaries must stay live across the whole window loop, while the
     # per-window dots feed attention producer-consumer and pipeline with
     # it.  Same genus as the fused-Adam/one-hot-gather lessons.
+    # Within a window the chunk's gpp head groups run off ONE merged qkv
+    # dot (output columns are independent — bit-identical to split dots,
+    # the GRIT_DECODE_MERGED_PROJ argument) and their outputs feed one
+    # full-width projection dot.
     parts = []
     for wx in range(nwx):
         xw = xn_ref[:, wx * win:(wx + 1) * win, :].reshape(n, c)
 
-        def proj(w_ref_, b_ref_):
-            return jax.lax.dot_general(
-                xw, w_ref_[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + b_ref_[0][None, :]
-
-        q = (proj(wq_ref, bq_ref) * scale).astype(xn_ref.dtype)
-        k = proj(wk_ref, bk_ref).astype(xn_ref.dtype)
-        v = proj(wv_ref, bv_ref).astype(xn_ref.dtype)
+        qkv = jax.lax.dot_general(
+            xw, wqkv_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv_ref[0, 0][None, :]
 
         def bd(x_):
             return jnp.where(
@@ -1078,43 +1088,52 @@ def _band_kernel(
             )
 
         kx = wx if m > 1 else 0
-        if wide:
-            bias = bias_ref[0, kx, 0]  # [N, g*N]
-            s = jax.lax.dot_general(
-                q, bd(k), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias
-            e = _wide_exp(s, g, n, v.dtype)
-            o_un = jax.lax.dot_general(
-                e, bd(v), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            sums = jax.lax.dot_general(
-                e, qmask.astype(v.dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            o_m = (o_un / sums).astype(xn_ref.dtype)
-        else:
-            bias = bias_ref[0, kx].reshape(g * n, n)
-            s = jax.lax.dot_general(
-                bd(q), k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            o_m = jnp.concatenate(
-                [o[j * n:(j + 1) * n, j * d:(j + 1) * d] for j in range(g)],
-                axis=-1,
-            ).astype(xn_ref.dtype)
+        outs = []
+        for j in range(gpp):
+            q = (qkv[:, j * gd:(j + 1) * gd] * scale).astype(xn_ref.dtype)
+            k = qkv[:, (gpp + j) * gd:(gpp + j + 1) * gd].astype(xn_ref.dtype)
+            v = qkv[:, (2 * gpp + j) * gd:(2 * gpp + j + 1) * gd].astype(
+                xn_ref.dtype)
+            if wide:
+                bias = bias_ref[0, kx, j]  # [N, g*N]
+                s = jax.lax.dot_general(
+                    q, bd(k), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bias
+                e = _wide_exp(s, g, n, v.dtype)
+                o_un = jax.lax.dot_general(
+                    e, bd(v), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sums = jax.lax.dot_general(
+                    e, qmask.astype(v.dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_m = (o_un / sums).astype(xn_ref.dtype)
+            else:
+                bias = bias_ref[0, kx, j * g:(j + 1) * g].reshape(g * n, n)
+                s = jax.lax.dot_general(
+                    bd(q), k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bias
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_m = jnp.concatenate(
+                    [o[jj * n:(jj + 1) * n, jj * d:(jj + 1) * d]
+                     for jj in range(g)],
+                    axis=-1,
+                ).astype(xn_ref.dtype)
+            outs.append(o_m)
+        o_cat = outs[0] if gpp == 1 else jnp.concatenate(outs, axis=-1)
         if save_attn:
-            o2_ref[0, wx] = o_m
+            o2_ref[0, wx] = o_cat
         part = jax.lax.dot_general(
-            o_m, wp_ref[...], (((1,), (0,)), ((), ())),
+            o_cat, wp_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         parts.append(part.reshape(win, win, c))
@@ -1129,12 +1148,47 @@ def _band_kernel(
     def _acc():
         acc_ref[...] = acc_ref[...] + band
 
-    @pl.when(hg == n_groups - 1)
+    @pl.when(hg == n_chunks - 1)
     def _emit():
         y = acc_ref[...] + bp_ref[0][None, None, :]
         if residual:
             y = y + jnp.where(band_pad, 0.0, _assemble().astype(jnp.float32))
         out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _pick_gpp(n_groups, gd, c, n, nwx, win, wp_, kb, g, wide, itemsize):
+    """Head-group chunks per program: the largest divisor of ``n_groups``
+    whose VMEM footprint fits the budget.  Bigger is better — at gpp ==
+    n_groups the weight/bias block indices are grid-constant (fetched once)
+    and each band row is read once.  ``GRIT_WA_GPP`` pins a value for chip
+    A/Bs (clamped to a divisor)."""
+    forced = int(os.environ.get("GRIT_WA_GPP", "0"))
+    budget = 13 * 1024 * 1024
+
+    def fits(gpp):
+        gpd = gpp * gd
+        n_chunks = n_groups // gpp
+        dbl = 2 if n_chunks > 1 else 1  # changing blocks get double-buffered
+        est = 0
+        est += 2 * win * wp_ * c * itemsize * 2     # x in + out, double-buffered
+        est += win * wp_ * c * (itemsize + 4)       # xn scratch + f32 acc
+        est += dbl * (c * 3 * gpd + gpd * c) * itemsize   # wqkv chunk + proj rows
+        bias_elems = kb * gpp * n * (g * n)         # same count wide or tall
+        est += dbl * bias_elems * 4
+        est += n * 3 * gpd * 4                      # f32 qkv temp
+        est += n * g * n * (4 + itemsize) * 2       # scores f32 + e, slack x2
+        return est <= budget
+
+    cands = [v for v in range(n_groups, 0, -1) if n_groups % v == 0]
+    if forced:
+        for v in cands:
+            if v <= forced:
+                return v
+        return 1
+    for v in cands:
+        if fits(v):
+            return v
+    return 1
 
 
 def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
@@ -1169,12 +1223,30 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         n_half = hp // s_half
         k_off = delta_r // s_half
 
+    # kb window-kinds per bias block (needed by the gpp VMEM model)
+    kb_pick = nwx if m > 1 else 1
+    gpp = _pick_gpp(n_groups, gd, c, n, nwx, window, wp_, kb_pick, g, wide,
+                    x.dtype.itemsize)
+    gpd = gpp * gd
+    n_chunks = n_groups // gpp
+
+    # per-chunk column layout [q | k | v]: chunk j's q columns are
+    # wqkv[:, j*gpd:(j+1)*gpd] etc. — reshape groups the columns
+    # contiguously, so this is a pure relayout of the same weights
     wq, wk, wv = wqkv[:, :c], wqkv[:, c:2 * c], wqkv[:, 2 * c:]
-    bq, bk, bv = bqkv[None, :c], bqkv[None, c:2 * c], bqkv[None, 2 * c:]
+    wqkv_c = jnp.concatenate(
+        [wq.reshape(c, n_chunks, gpd), wk.reshape(c, n_chunks, gpd),
+         wv.reshape(c, n_chunks, gpd)], axis=2,
+    ).transpose(1, 0, 2)  # [n_chunks, C, 3*gpd]
+    bq, bk, bv = bqkv[:c], bqkv[c:2 * c], bqkv[2 * c:]
+    bqkv_c = jnp.concatenate(
+        [bq.reshape(n_chunks, gpd), bk.reshape(n_chunks, gpd),
+         bv.reshape(n_chunks, gpd)], axis=1,
+    )[:, None, :]  # [n_chunks, 1, 3*gpd]
 
     base_kernel = functools.partial(
-        _band_kernel, scale=scale, g=g, d=d, n_groups=n_groups, win=window,
-        nwx=nwx, m=m, save_attn=save_attn, eps=eps,
+        _band_kernel, scale=scale, g=g, d=d, n_groups=n_groups, gpp=gpp,
+        win=window, nwx=nwx, m=m, save_attn=save_attn, eps=eps,
         real_h=real_hw[0], real_w=real_hw[1], hp=hp, wp=wp_,
         shift=shift, residual=residual, wide=wide,
         # delta_c == wp_ is the identity rotation but still flags the
@@ -1196,12 +1268,12 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         memory_space=pltpu.VMEM,
     )
     ln_spec = pl.BlockSpec((1, c), lambda wy, bb, hg: (0, 0), memory_space=pltpu.VMEM)
-    wcol_spec = pl.BlockSpec(
-        (c, gd), lambda wy, bb, hg: (0, hg), memory_space=pltpu.VMEM)
-    bcol_spec = pl.BlockSpec(
-        (1, gd), lambda wy, bb, hg: (0, hg), memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec(
+        (1, c, 3 * gpd), lambda wy, bb, hg: (hg, 0, 0), memory_space=pltpu.VMEM)
+    bqkv_spec = pl.BlockSpec(
+        (1, 1, 3 * gpd), lambda wy, bb, hg: (hg, 0, 0), memory_space=pltpu.VMEM)
     wrow_spec = pl.BlockSpec(
-        (gd, c), lambda wy, bb, hg: (hg, 0), memory_space=pltpu.VMEM)
+        (gpd, c), lambda wy, bb, hg: (hg, 0), memory_space=pltpu.VMEM)
     bp_spec = pl.BlockSpec(
         (1, c), lambda wy, bb, hg: (0, 0), memory_space=pltpu.VMEM)
 
@@ -1215,7 +1287,7 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         else:
             bias_f = bias_f.reshape(1, 1, n_groups, n, g * n)
         bias_spec = pl.BlockSpec(
-            (1, kb, 1, n, g * n),
+            (1, kb, gpp, n, g * n),
             lambda wy, bb, hg, _m=m: (wy if _m > 1 else 0, 0, hg, 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -1225,7 +1297,7 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         else:
             bias_f = bias_f.reshape(1, 1, h, n, n)
         bias_spec = pl.BlockSpec(
-            (1, kb, g, n, n),
+            (1, kb, gpp * g, n, n),
             lambda wy, bb, hg, _m=m: (wy if _m > 1 else 0, 0, hg, 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -1257,17 +1329,16 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
     out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
     if save_attn:
         o2_spec = pl.BlockSpec(
-            (1, nwx, n, gd), lambda wy, bb, hg: (bb, wy, 0, hg),
+            (1, nwx, n, gpd), lambda wy, bb, hg: (bb, wy, 0, hg),
             memory_space=pltpu.VMEM,
         )
         out_specs = [x_spec, o2_spec]
         out_shape = [out_shape, jax.ShapeDtypeStruct((b, nw, n, c), x.dtype)]
     outs = pl.pallas_call(
         kernel,
-        grid=(nwy, b, n_groups),  # window row outermost: bias DMA'd per row
+        grid=(nwy, b, n_chunks),  # window row outermost: bias DMA'd per row
         in_specs=x_in_specs + [ln_spec, ln_spec,
-                               wcol_spec, wcol_spec, wcol_spec,
-                               bcol_spec, bcol_spec, bcol_spec,
+                               wqkv_spec, bqkv_spec,
                                wrow_spec, bp_spec, bias_spec],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1282,7 +1353,7 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         ),
     )(*x_operands, lns.astype(jnp.float32)[None],
       lnb.astype(jnp.float32)[None],
-      wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias_f)
+      wqkv_c, bqkv_c, wproj, bproj[None], bias_f)
     if save_attn:
         return outs[0], outs[1]
     return outs
