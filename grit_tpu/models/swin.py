@@ -148,7 +148,7 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias_mask=None, *, deterministic=True, n_windows=None,
-                 x_map=None, resident=None):
+                 x_map=None, resident=None, mlp_params=None):
         """x: [B*nW, N, C] with N = window²; bias_mask: [nW, N, N] additive or None.
 
         ``x_map`` selects the whole-block kernel path: pass the
@@ -183,7 +183,10 @@ class WindowAttention(nn.Module):
         bias = table[rel_idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
 
         if resident is not None:
-            from grit_tpu.ops.window_attention import fused_block_step
+            from grit_tpu.ops.window_attention import (
+                fused_block_mlp_step,
+                fused_block_step,
+            )
 
             lns, lnb, real_hw, shift, residual, storage_shift = resident
             if bias_mask is not None:
@@ -198,12 +201,23 @@ class WindowAttention(nn.Module):
             if self.dtype is not None:
                 wqkv, bqkv = wqkv.astype(self.dtype), bqkv.astype(self.dtype)
                 wproj, bproj = wproj.astype(self.dtype), bproj.astype(self.dtype)
-            out = fused_block_step(
-                x_map, lns, lnb, wqkv, bqkv, wproj, bproj, combined,
-                scale=d ** -0.5, num_heads=h, window=self.window,
-                real_hw=real_hw, shift=shift, residual=residual, eps=LN_EPS,
-                storage_shift=storage_shift,
-            )
+            if mlp_params is not None:
+                # whole-block residency: MLP half-block fused into the same
+                # program (caller checked block_mlp_fusable)
+                out = fused_block_mlp_step(
+                    x_map, lns, lnb, wqkv, bqkv, wproj, bproj, combined,
+                    *mlp_params,
+                    scale=d ** -0.5, num_heads=h, window=self.window,
+                    real_hw=real_hw, shift=shift, eps=LN_EPS,
+                    storage_shift=storage_shift,
+                )
+            else:
+                out = fused_block_step(
+                    x_map, lns, lnb, wqkv, bqkv, wproj, bproj, combined,
+                    scale=d ** -0.5, num_heads=h, window=self.window,
+                    real_hw=real_hw, shift=shift, residual=residual, eps=LN_EPS,
+                    storage_shift=storage_shift,
+                )
             return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
         if x_map is not None:
@@ -446,11 +460,6 @@ class SwinBlock(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             fused=True, dtype=self.dtype, name="attn",
         )
-        out = attn(
-            None, mask, deterministic=True, x_map=x,
-            resident=(lns, lnb, hw, self.shift, True,
-                      self.storage_shift if rollfree else self.shift),
-        )
 
         hidden = int(self.dim * self.mlp_ratio)
         lns2, lnb2 = _LayerNormParams(self.dim, name="norm2")()
@@ -458,10 +467,31 @@ class SwinBlock(nn.Module):
         if self.dtype is not None:
             w1, b1 = w1.astype(self.dtype), b1.astype(self.dtype)
             w2, b2 = w2.astype(self.dtype), b2.astype(self.dtype)
-        rows = out.reshape(b, hp * wp, c)
-        mlp_out = fused_mlp(rows, lns2, lnb2, w1, b1, w2, b2, eps=LN_EPS,
-                            residual=True)
-        x = mlp_out.reshape(b, hp, wp, c)
+
+        # whole-block residency where the full block fits one program
+        # (stages 1-2 at GRIT shapes): attention + MLP in one kernel
+        n_bias_kinds = 1 if self.shift == 0 else (hp // self.window) * (
+            wp // self.window)
+        fuse_mlp = wa.block_mlp_fusable(
+            c, self.num_heads, self.window, hp, wp, n_bias_kinds, hidden,
+            x.dtype.itemsize,
+        )
+        resident_spec = (lns, lnb, hw, self.shift, True,
+                         self.storage_shift if rollfree else self.shift)
+        if fuse_mlp:
+            x_out = attn(
+                None, mask, deterministic=True, x_map=x,
+                resident=resident_spec,
+                mlp_params=(lns2, lnb2, w1, b1, w2, b2),
+            )
+        else:
+            out = attn(None, mask, deterministic=True, x_map=x,
+                       resident=resident_spec)
+            rows = out.reshape(b, hp * wp, c)
+            mlp_out = fused_mlp(rows, lns2, lnb2, w1, b1, w2, b2, eps=LN_EPS,
+                                residual=True)
+            x_out = mlp_out.reshape(b, hp, wp, c)
+        x = x_out
         if self.shift > 0 and not rollfree:
             x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
         return x

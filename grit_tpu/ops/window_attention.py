@@ -986,9 +986,10 @@ def rollfree_enabled() -> bool:
 
 def _band_kernel(
     x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-    wp_ref, bp_ref, bias_ref, out_ref, *rest,
+    wp_ref, bp_ref, bias_ref, *rest,
     scale, g, d, n_groups, gpp, win, nwx, m, save_attn, eps,
     real_h, real_w, hp, wp, shift, residual, wide, delta_c=0,
+    with_mlp=False,
 ):
     """One (window-row, image, head-group-CHUNK) program of the fused step.
 
@@ -1013,6 +1014,12 @@ def _band_kernel(
     rollfree = delta_c != 0
     if rollfree:
         x_top_ref, x_bot_ref = x_ref
+    rest = list(rest)
+    if with_mlp:
+        # MLP tail refs (whole-block residency): LN2 scale/bias, fc1, fc2
+        lns2_ref, lnb2_ref, w1_ref, b1_ref, w2_ref, b2_ref = rest[:6]
+        del rest[:6]
+    out_ref = rest.pop(0)
     if save_attn:
         o2_ref, acc_ref, xn_ref = rest
     else:
@@ -1153,7 +1160,44 @@ def _band_kernel(
         y = acc_ref[...] + bp_ref[0][None, None, :]
         if residual:
             y = y + jnp.where(band_pad, 0.0, _assemble().astype(jnp.float32))
-        out_ref[0] = y.astype(out_ref.dtype)
+        if not with_mlp:
+            out_ref[0] = y.astype(out_ref.dtype)
+            return
+        # Whole-block residency: the MLP half-block (LN2 + fc1 + GELU + fc2
+        # + residual) runs on the attention output while it is still in
+        # VMEM — one HBM round trip per Swin block instead of two, and the
+        # MLP's MXU dots can overlap this program's VPU-heavy softmaxes.
+        # Dtype semantics REPRODUCE the separate-kernel path bit-for-bit:
+        # the attention output is cast to the storage dtype first (that is
+        # what the separate fused_mlp read from HBM), LN/GELU follow
+        # _mlp_kernel exactly, and the residual adds in f32.
+        rows_t = win * wp
+        yb = y.astype(out_ref.dtype).reshape(rows_t, c)
+        sub = rows_t
+        hid = w1_ref.shape[1]
+        # sub-block the rows so the f32 GELU intermediate stays ~<= 2 MB
+        while sub > 256 and sub * hid * 4 > 2 * 1024 * 1024:
+            sub //= 2
+        while rows_t % sub:
+            sub -= 1
+        outs_rows = []
+        for r0 in range(0, rows_t, sub):
+            xr = yb[r0:r0 + sub]
+            xn2 = _ln_rows(xr, lns2_ref[0], lnb2_ref[0], eps)
+            hmid = jax.lax.dot_general(
+                xn2, w1_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b1_ref[0][None, :]
+            hmid = _gelu(hmid, jnp.dtype(out_ref.dtype)).astype(out_ref.dtype)
+            yr = jax.lax.dot_general(
+                hmid, w2_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b2_ref[0][None, :]
+            outs_rows.append(
+                (xr.astype(jnp.float32) + yr).astype(out_ref.dtype))
+        rows_out = (jnp.concatenate(outs_rows, 0) if len(outs_rows) > 1
+                    else outs_rows[0])
+        out_ref[0] = rows_out.reshape(win, wp, c)
 
 
 def _pick_gpp(n_groups, gd, c, n, nwx, win, wp_, kb, g, wide, itemsize):
@@ -1193,7 +1237,7 @@ def _pick_gpp(n_groups, gd, c, n, nwx, win, wp_, kb, g, wide, itemsize):
 
 def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
                        scale, num_heads, window, real_hw, shift, residual,
-                       eps, save_attn=False, storage_shift=0):
+                       eps, save_attn=False, storage_shift=0, mlp=None):
     b, hp, wp_, c = x.shape
     h = num_heads
     d = c // h
@@ -1244,6 +1288,9 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
          bv.reshape(n_chunks, gpd)], axis=1,
     )[:, None, :]  # [n_chunks, 1, 3*gpd]
 
+    if mlp is not None:
+        assert n_chunks == 1, "whole-block MLP fusion needs all groups resident"
+        assert not save_attn
     base_kernel = functools.partial(
         _band_kernel, scale=scale, g=g, d=d, n_groups=n_groups, gpp=gpp,
         win=window, nwx=nwx, m=m, save_attn=save_attn, eps=eps,
@@ -1252,6 +1299,7 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         # delta_c == wp_ is the identity rotation but still flags the
         # roll-free ref unpacking when only the rows are offset
         delta_c=(delta_c or wp_) if rollfree else 0,
+        with_mlp=mlp is not None,
     )
 
     if rollfree:
@@ -1334,12 +1382,24 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
         )
         out_specs = [x_spec, o2_spec]
         out_shape = [out_shape, jax.ShapeDtypeStruct((b, nw, n, c), x.dtype)]
+    mlp_specs: list = []
+    mlp_operands: tuple = ()
+    if mlp is not None:
+        lns2, lnb2, w1, b1, w2, b2 = mlp
+        hid = w1.shape[1]
+        whole = lambda a: pl.BlockSpec(  # noqa: E731
+            a.shape, (lambda wy, bb, hg: (0,) * a.ndim), memory_space=pltpu.VMEM)
+        mlp_operands = (
+            lns2.astype(jnp.float32)[None], lnb2.astype(jnp.float32)[None],
+            w1, b1[None], w2, b2[None],
+        )
+        mlp_specs = [whole(a) for a in mlp_operands]
     outs = pl.pallas_call(
         kernel,
         grid=(nwy, b, n_chunks),  # window row outermost: bias DMA'd per row
         in_specs=x_in_specs + [ln_spec, ln_spec,
                                wqkv_spec, bqkv_spec,
-                               wrow_spec, bp_spec, bias_spec],
+                               wrow_spec, bp_spec, bias_spec] + mlp_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -1347,13 +1407,15 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
             pltpu.VMEM((window, wp_, c), x.dtype),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * nw * n * (4 * c * c + 2 * g * (h // g) * n * d * 2),
+            flops=2 * b * nw * n * (4 * c * c + 2 * g * (h // g) * n * d * 2)
+            + (4 * b * hp * wp_ * c * mlp[2].shape[1] if mlp is not None else 0),
             bytes_accessed=(2 * x.size + m * h * n * n * 4),
-            transcendentals=b * nw * h * n * n,
+            transcendentals=b * nw * h * n * n
+            + (b * hp * wp_ * mlp[2].shape[1] if mlp is not None else 0),
         ),
     )(*x_operands, lns.astype(jnp.float32)[None],
       lnb.astype(jnp.float32)[None],
-      wqkv_c, bqkv_c, wproj, bproj[None], bias_f)
+      wqkv_c, bqkv_c, wproj, bproj[None], bias_f, *mlp_operands)
     if save_attn:
         return outs[0], outs[1]
     return outs
@@ -1518,6 +1580,114 @@ def fused_block_step(
     return _block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
                        scale, num_heads, window, real_hw, shift, residual,
                        eps, storage_shift)
+
+
+_BLOCK_MLP = os.environ.get("GRIT_WA_BLOCK_MLP", "1") == "1"
+
+
+def block_mlp_fusable(c, num_heads, window, hp, wp_, m, hid, itemsize) -> bool:
+    """True when the whole Swin block (attention + MLP) fits one band
+    program: every head group resident (n_chunks == 1) and the combined
+    VMEM footprint (attention working set + LN2/fc1/fc2 + the sub-blocked
+    f32 GELU intermediate) under budget.  At GRIT shapes this holds for
+    stages 1-2 (C=128/256) and not for 3-4 (the MLP weights alone are
+    4/16 MB bf16)."""
+    if not _BLOCK_MLP:
+        return False
+    h = num_heads
+    d = c // h
+    g = max(1, min(h, 128 // max(d, 1)))
+    while h % g:
+        g -= 1
+    gd = g * d
+    n_groups = h // g
+    n = window * window
+    nwx = wp_ // window
+    kb = nwx if m > 1 else 1
+    gpp = _pick_gpp(n_groups, gd, c, n, nwx, window, wp_, kb, g, _WIDE and g > 1,
+                    itemsize)
+    if gpp != n_groups:
+        return False
+    est = 0
+    est += 2 * window * wp_ * c * itemsize * 2          # x in + out
+    est += window * wp_ * c * (itemsize + 4 + itemsize)  # xn + acc + yb
+    est += (c * 3 * gpp * gd + gpp * gd * c) * itemsize
+    est += kb * gpp * n * g * n * 4                      # bias
+    est += n * 3 * gpp * gd * 4 + n * g * n * (4 + itemsize) * 2
+    est += (c * hid + hid * c) * itemsize                # fc1 + fc2
+    est += min(window * wp_, 512) * hid * (4 + itemsize)  # GELU sub-block
+    return est <= 13 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
+def _block_mlp_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                    lns2, lnb2, w1, b1, w2, b2,
+                    scale, num_heads, window, real_hw, shift, eps,
+                    storage_shift):
+    return _step_forward_band(
+        x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+        scale, num_heads, window, real_hw, shift, True, eps,
+        storage_shift=storage_shift, mlp=(lns2, lnb2, w1, b1, w2, b2),
+    )
+
+
+def _block_mlp_ref(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                   lns2, lnb2, w1, b1, w2, b2,
+                   scale, num_heads, window, real_hw, shift, eps,
+                   storage_shift):
+    """jnp mirror (recompute target for the backward): the separate-kernel
+    composition the fused program reproduces bit-for-bit."""
+    attn_out = block_step_ref(
+        x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+        scale=scale, num_heads=num_heads, window=window, real_hw=real_hw,
+        shift=shift, residual=True, eps=eps, storage_shift=storage_shift,
+    )
+    b, hp, wp_, c = attn_out.shape
+    rows = _mlp_ref2(attn_out.reshape(b * hp * wp_, c), lns2, lnb2,
+                     w1, b1, w2, b2, eps, True)
+    return rows.reshape(b, hp, wp_, c)
+
+
+def _block_mlp_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                   lns2, lnb2, w1, b1, w2, b2, *nd):
+    out = _block_mlp_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                          lns2, lnb2, w1, b1, w2, b2, *nd)
+    return out, (x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                 lns2, lnb2, w1, b1, w2, b2)
+
+
+def _block_mlp_bwd(scale, num_heads, window, real_hw, shift, eps,
+                   storage_shift, res, dout):
+    # recompute-and-differentiate through the jnp mirror (XLA autodiff);
+    # this path only runs if someone differentiates the resident pipeline,
+    # which the engines never do (resident mode = eval / frozen stages)
+    _, vjp = jax.vjp(
+        lambda *a: _block_mlp_ref(*a, scale, num_heads, window, real_hw,
+                                  shift, eps, storage_shift), *res)
+    return vjp(dout)
+
+
+_block_mlp_step.defvjp(_block_mlp_fwd, _block_mlp_bwd)
+
+
+def fused_block_mlp_step(
+    x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, lns2, lnb2, w1, b1, w2, b2, *,
+    scale, num_heads, window, real_hw, shift=0, eps=1e-5, storage_shift=None,
+):
+    """One FULL Swin block (LN1+attention+residual, then LN2+MLP+residual)
+    on a resident padded map, in ONE Pallas program per band — one HBM
+    round trip per block instead of two, with the MLP's MXU dots available
+    to overlap the attention's VPU softmax.  Caller must check
+    ``block_mlp_fusable`` first.  Bit-identical to
+    ``fused_block_step(residual=True)`` followed by ``fused_mlp`` (the
+    fused tail reproduces the separate kernels' dtype boundaries).
+    Reference semantics: swin_model.py:189-301."""
+    if storage_shift is None:
+        storage_shift = shift
+    return _block_mlp_step(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                           lns2, lnb2, w1, b1, w2, b2,
+                           scale, num_heads, window, real_hw, shift, eps,
+                           storage_shift)
 
 
 def block_step_ref(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias, *,

@@ -712,3 +712,80 @@ def test_fused_ln_linear_oversized_weight_falls_back():
     ref = ((x - mu) * jax.lax.rsqrt(var + 1e-5) * lns + lnb) @ w
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("case", [
+    # (B, Hp, Wp, C, h, win, real_h, real_w, shift)
+    (2, 8, 12, 16, 4, 4, 8, 12, 0),
+    (2, 8, 12, 16, 4, 4, 6, 9, 2),       # padded + shifted
+])
+def test_block_mlp_step_matches_separate_kernels(case, monkeypatch):
+    """fused_block_mlp_step (whole Swin block in one program) must
+    reproduce fused_block_step + fused_mlp exactly — the fused tail keeps
+    the separate path's dtype boundaries (attention output cast to storage
+    dtype before LN2)."""
+    monkeypatch.setattr(wa, "_WIDE", True)
+    monkeypatch.setattr(wa, "_BAND", True)
+    b, hp, wp_, c, h, win, rh, rw, shift = case
+    n = win * win
+    nw = (hp // win) * (wp_ // win)
+    hid = 2 * c
+    ks = jax.random.split(jax.random.PRNGKey(13), 12)
+    x = jax.random.normal(ks[0], (b, hp, wp_, c))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (c,))
+    lnb = 0.1 * jax.random.normal(ks[2], (c,))
+    wqkv = jax.random.normal(ks[3], (c, 3 * c)) * 0.1
+    bqkv = jax.random.normal(ks[4], (3 * c,)) * 0.1
+    wproj = jax.random.normal(ks[5], (c, c)) * 0.1
+    bproj = jax.random.normal(ks[6], (c,)) * 0.1
+    bias = jax.random.normal(ks[7], (nw, h, n, n))
+    lns2 = 1.0 + 0.1 * jax.random.normal(ks[8], (c,))
+    lnb2 = 0.1 * jax.random.normal(ks[9], (c,))
+    w1 = jax.random.normal(ks[10], (c, hid)) * 0.1
+    b1 = jnp.zeros((hid,))
+    w2 = jax.random.normal(ks[11], (hid, c)) * 0.1
+    b2 = jnp.zeros((c,))
+    kw = dict(scale=(c // h) ** -0.5, num_heads=h, window=win,
+              real_hw=(rh, rw), shift=shift)
+
+    assert wa.block_mlp_fusable(c, h, win, hp, wp_, nw if shift else 1,
+                                hid, x.dtype.itemsize)
+    with _interp_patch():
+        sep = wa.fused_block_step(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                  bias, residual=True, **kw)
+        sep = wa.fused_mlp(sep.reshape(b, hp * wp_, c), lns2, lnb2,
+                           w1, b1, w2, b2, residual=True).reshape(
+            b, hp, wp_, c)
+        fused = wa.fused_block_mlp_step(
+            x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+            lns2, lnb2, w1, b1, w2, b2, **kw)
+    yy = (np.arange(hp) + shift) % hp
+    xx = (np.arange(wp_) + shift) % wp_
+    real = (yy[:, None] < rh) & (xx[None, :] < rw)
+    np.testing.assert_allclose(
+        np.asarray(fused)[:, real], np.asarray(sep)[:, real],
+        rtol=1e-6, atol=1e-6)
+
+    # gradients flow through the recompute VJP (vs autodiff of the oracle)
+    def loss(fn, *extra):
+        def inner(x_, w1_):
+            out = fn(x_, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
+                     lns2, lnb2, w1_, b1, w2, b2, **kw)
+            return jnp.sum(jnp.where(jnp.asarray(real)[None, :, :, None],
+                                     out, 0.0) ** 2)
+        return inner
+
+    with _interp_patch():
+        gx_f, gw1_f = jax.grad(loss(wa.fused_block_mlp_step), argnums=(0, 1))(
+            x, w1)
+
+    def ref_fn(x_, *rest, **kw_):
+        return wa._block_mlp_ref(x_, *rest, kw_["scale"], kw_["num_heads"],
+                                 kw_["window"], kw_["real_hw"], kw_["shift"],
+                                 1e-5, kw_["shift"])
+
+    gx_r, gw1_r = jax.grad(loss(ref_fn), argnums=(0, 1))(x, w1)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw1_f), np.asarray(gw1_r),
+                               rtol=2e-4, atol=2e-4)

@@ -34,6 +34,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=20)
     ap.add_argument("--frozen-stages", type=int, default=2)
+    ap.add_argument("--trace", default=None,
+                    help="write a jax.profiler trace of one step to this dir")
     ap.add_argument("--no-donate", action="store_true",
                     help="disable buffer donation in the XE step (production "
                          "train_caption.py donates; this exists only to "
@@ -114,6 +116,12 @@ def main(argv=None):
                 f"[{tag} b={b}] sustained (chained x{k}): {sus:.1f} ms/step  "
                 f"{per_iter_images(b) / (sus / 1e3):.1f} img/s/chip"
             )
+            if args.trace:
+                jax.profiler.start_trace(args.trace)
+                state, metrics = step_fn(state, *stepargs, jax.random.PRNGKey(999))
+                _ = np.asarray(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"[{tag} b={b}] trace written to {args.trace}")
 
     if args.phase in ("xe", "both"):
         sched = dict(num_epochs=10, num_its_per_epoch=1000, init_lr=1e-4,
