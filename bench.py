@@ -52,10 +52,23 @@ def main():
 
     import jax
 
-    # persistent compile cache: repeat bench runs skip the ~10 min compile
+    # persistent compile cache: repeat bench runs skip the ~10 min compile.
+    # State the cache's prior contents up front so "compile+first batch" is
+    # never mistaken for a cold-compile number (VERDICT r4 weak-2): a
+    # non-empty cache means warm-cache timings.
+    import glob
+    import os
+
+    cache_dir = "/tmp/jax_bench_cache"
+    n_cached = len(glob.glob(os.path.join(cache_dir, "*")))
+    print(
+        f"compile cache: {cache_dir} holds {n_cached} entries -> "
+        f"{'WARM (timings below are not cold-compile)' if n_cached else 'cold'}",
+        file=sys.stderr,
+    )
     from grit_tpu.utils.misc import enable_compile_cache
 
-    enable_compile_cache("/tmp/jax_bench_cache")
+    enable_compile_cache(cache_dir)
     import jax.numpy as jnp
 
     from grit_tpu.config import default_caption_config

@@ -8,9 +8,9 @@ Parity: the reference feeds the detector through ``DistributedSampler`` +
   shuffle (DistributedSampler semantics; the caption loader,
   grit_tpu/data/coco.py, uses the same scheme);
 - a thread pool decodes + transforms the batch's images concurrently
-  (``num_workers``, reference ``optimizer.num_workers``), and a producer
-  thread keeps a depth-2 queue of ready device batches (prefetch_factor=2)
-  so host work overlaps the device step;
+  (``num_workers``, reference ``optimizer.num_workers``), and ``prefetch``
+  batches build concurrently on a batch-level pool, emitted strictly in
+  order (prefetch_factor=2) so host work overlaps the device step;
 - ``drop_last`` on train batches — the solver refuses ragged detection
   batches (a padded fake image would add background focal-loss terms);
 - **static-shape bucketing**: the reference pads each batch to its own max
@@ -23,8 +23,6 @@ Parity: the reference feeds the detector through ``DistributedSampler`` +
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
@@ -123,29 +121,34 @@ class DetectionLoader:
     def __iter__(self):
         idx = self._indices()
         n_batches = len(self)
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
-        def producer():
-            try:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    rows = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    q.put(self._make_batch(rows))
-                q.put(None)
-            except BaseException as e:  # surface loader errors to the consumer
-                q.put(e)
+        # batch-LEVEL parallel prefetch (r5, mirrors grit_tpu/data/coco.py):
+        # ``prefetch`` batches build concurrently on a dedicated pool and are
+        # emitted strictly in submission order, so determinism — per-item
+        # RNGs are keyed by (index, epoch) — is unchanged.  The build pool
+        # is separate from the per-image pool _make_batch maps over
+        # (same-pool submission could deadlock).
+        from collections import deque
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        def build(b: int):
+            rows = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            return self._make_batch(rows)
+
+        if getattr(self, "_batch_pool", None) is None:
+            self._batch_pool = ThreadPoolExecutor(max(1, min(self.prefetch, 4)))
+        pending: deque = deque()
+        nxt = 0
+        depth = max(1, self.prefetch)
+        while nxt < min(depth, n_batches):
+            pending.append(self._batch_pool.submit(build, nxt))
+            nxt += 1
         try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    break
-                if isinstance(batch, BaseException):
-                    raise batch
+            while pending:
+                batch = pending.popleft().result()
+                if nxt < n_batches:
+                    pending.append(self._batch_pool.submit(build, nxt))
+                    nxt += 1
                 yield batch
         finally:
-            stop.set()
+            for f in pending:
+                f.cancel()
