@@ -9,7 +9,8 @@ without pycocotools or torch DataLoaders:
 - paired dataset (image, caption tokens) for XE and dictionary dataset
   (image -> all 5 refs) for SCST/eval (:84-101, :151-176);
 - hdf5 fast path for frozen precomputed features (field.py:47-68);
-- batch-size rules: freezing x4, SCST //4, dict eval x2 (coco.py:339-366);
+- batch-size rules: freezing x4, SCST //sc_batch_divisor (default 2; the
+  reference uses //4), dict eval x2 (coco.py:339-366);
 - overfit-64 smoke mode incl. the valid-for-train substitution (:24,:301-302);
 - test-server datasets for the COCO leaderboard (:119-148).
 
@@ -350,7 +351,15 @@ def build_coco_dataloaders(config, mode: str = "finetune", rank: int = 0, world:
         )
 
     bs = config.optimizer.batch_size * 4 if mode == "freezing" else config.optimizer.batch_size
-    sc_bs = config.optimizer.batch_size if mode == "freezing" else config.optimizer.batch_size // 4
+    # SCST batch: the reference's rule is batch//4 (train_caption.py:253), a
+    # memory convention from 16 GB V100s, not math — the SCST loss/grad is
+    # exactly linear in batch size (tests/test_engine.py pins b8 == mean of
+    # the two b4 halves) and the v5e chip A/B measured b8 at +21% throughput
+    # (docs/NOTES.md round 4).  Default divisor 2 (= b8 at the production
+    # batch 16); set optimizer.sc_batch_divisor=4 for the reference recipe.
+    sc_div = int(config.optimizer.get("sc_batch_divisor", 2))
+    sc_bs = (config.optimizer.batch_size if mode == "freezing"
+             else max(1, config.optimizer.batch_size // sc_div))
 
     common = dict(
         max_len=config.model.max_len,

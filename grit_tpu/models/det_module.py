@@ -82,9 +82,17 @@ MSDA_PALLAS_MAX_SLAB_BYTES = int(
 
 
 def resolve_msda_impl(impl: str, s_pad: int, channels: int, itemsize: int) -> str:
-    """Demote 'pallas' to 'flat' when the value slab exceeds the VMEM bound."""
+    """Resolve 'pallas' for slabs exceeding the whole-slab VMEM bound.
+
+    Over-bound slabs stay on pallas when the S-chunked v5 kernels are
+    available (GRIT_MSDA_V5=1 and GRIT_MSDA_CHUNKED != 0 — the
+    ``ms_deform_attn_pallas_v5`` entry routes to them by the same slab-size
+    test); otherwise demote to the fused-XLA 'flat' formulation.
+    """
     if impl == "pallas" and s_pad * channels * itemsize > MSDA_PALLAS_MAX_SLAB_BYTES:
-        return "flat"
+        from grit_tpu.ops.msda_pallas import chunked_fallback_available
+
+        return "pallas" if chunked_fallback_available() else "flat"
     return impl
 
 

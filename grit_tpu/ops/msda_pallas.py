@@ -1171,7 +1171,12 @@ _gather_op_v5.defvjp(_gather_fwd_v5, _gather_bwd_v5)
 def ms_deform_attn_pallas_v5(
     value, spatial_shapes, sampling_locations, attention_weights, real_hw=None
 ):
-    """MSDA on a v5-relaid [N, S5, C] value slab (relay_value_v5) -> [N, Lq, C]."""
+    """MSDA on a v5-relaid [N, S5, C] value slab (relay_value_v5) -> [N, Lq, C].
+
+    Large pyramids (det pre-training 832x1344, S5 ~= 23600) route to the
+    S-chunked variant below — the whole-slab kernels' VMEM ask scales with
+    S (the round-4 det backward wanted 191 MB of the v5e's 128 MB).
+    """
     n, s_pad, c = value.shape
     _, lq, m, L, p, _ = sampling_locations.shape
     dhead = c // m
@@ -1188,4 +1193,312 @@ def ms_deform_attn_pallas_v5(
         spatial_shapes, sampling_locations, attention_weights, real_hw=real_hw
     )
     spans5 = tuple((st, h, wp) for st, (h, wp) in zip(starts, dims))
+    mode = os.environ.get("GRIT_MSDA_CHUNKED", "1")
+    slab_bytes = s_pad * c * value.dtype.itemsize
+    if mode == "force" or (mode != "0" and slab_bytes > _slab_limit_bytes()):
+        return _gather_op_v5s(yy, xx, wy, wxa, idx_h, w_h, value, spans5, p, dhead)
     return _gather_op_v5(yy, xx, wy, wxa, idx_h, w_h, value, spans5, p, dhead)
+
+
+# ---------------------------------------------------------------------------
+# v5s: S-chunked v5 — the det-pyramid variant (same separable math, bounded
+# VMEM).
+#
+# The whole-slab v5 kernels hold [S5, C] resident and build [Lq, S_l] /
+# [H, Wp, Lq] f32 selection temps per head; at the det pre-training pyramid
+# (832x1344 -> S5 ~= 23600, level 0 is 104x168) Mosaic's live-range for the
+# unrolled head loop wanted 191 MB of the v5e's 128 MB VMEM and the module
+# demoted to the XLA 'flat' gather (round 4, docs/FLAGS.md).  This variant
+# keeps the kernel on the MXU at ANY pyramid size by two decompositions,
+# mirroring what the CUDA ext's ``im2col_step`` batch-chunking does for GPU
+# shared memory (reference models/ops/src/cuda/ms_deform_attn_cuda.cu:20-80)
+# but along the dimension that matters on TPU — the value slab:
+#
+# - per LEVEL: one pallas_call per pyramid level (4 calls), each seeing only
+#   that level's [H_l * Wp_l, C] slab segment.  Levels are additive in the
+#   output, so the f32 partial outputs just sum.
+# - per ROW-CHUNK: within a level the grid is (image, row-chunk); each
+#   program holds an [hr, Wp] row window of the level.  A bilinear tap either
+#   falls in the window (its iota compare matches) or contributes zero, so
+#   accumulating into the revisited [Lq, C] f32 output block across the chunk
+#   dimension reproduces the unchunked sum exactly; the backward writes each
+#   dval chunk once (slab rows partition across chunks) and accumulates dW.
+#
+# Chunking is FLOP-neutral (the per-chunk selection builds + dots sum to the
+# unchunked work) and bounds the f32 temps at [Lq, hr*Wp] — hr is sized from
+# a per-program budget (GRIT_MSDA_CHUNK_VMEM_MB, default 8 MB).
+# ---------------------------------------------------------------------------
+
+
+def _slab_limit_bytes() -> int:
+    """The pallas whole-slab VMEM feasibility bound (shared with det_module)."""
+    return int(float(os.environ.get("GRIT_MSDA_PALLAS_MAX_SLAB_MB", "10")) * (1 << 20))
+
+
+def chunked_fallback_available() -> bool:
+    """True when an over-bound slab can stay on pallas via the S-chunked v5
+    kernels instead of demoting to the XLA 'flat' gather (det_module)."""
+    return v5_enabled() and os.environ.get("GRIT_MSDA_CHUNKED", "1") != "0"
+
+
+def _chunk_plan_v5s(hl: int, wp: int, lq: int):
+    """(rows-per-chunk, n_chunks) bounding the [Lq, hr*Wp] f32 temps.
+
+    The budget covers the two big per-head temps (selection matrix + dov in
+    the backward; the forward's [hr, Wp, Lq] tile is the same footprint).
+    Chunks are balanced: nk = ceil(hl / hr_max), hr = ceil(hl / nk).
+    """
+    budget = int(float(os.environ.get("GRIT_MSDA_CHUNK_VMEM_MB", "8")) * (1 << 20))
+    lqp = -(-lq // 128) * 128
+    hr_max = max(1, budget // (wp * lqp * 4 * 2))
+    nk = -(-hl // hr_max)
+    hr = -(-hl // nk)
+    return hr, nk
+
+
+def _gather_matmul_kernel_v5s(
+    yy_ref, xx_ref, wy_ref, wx_ref, value_ref, out_ref, *, hr, wp, npts, dhead
+):
+    """One program per (image, row-chunk) of ONE level — S-chunked v5 forward.
+
+    Identical separable math to ``_gather_matmul_kernel_v5`` restricted to a
+    [hr, wp] row window; partial sums accumulate into the revisited f32
+    output block across the chunk grid dimension.
+    """
+    lq = yy_ref.shape[3]
+    m = yy_ref.shape[1]
+    kc = pl.program_id(1)
+    value = value_ref[0]                        # [hr*wp, C] chunk
+    pairs = _head_pairs(m)
+
+    @pl.when(kc == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (hr, 1, lq), 0) + kc * hr
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wp, lq), 1)
+    for lane0, heads in pairs:
+        gw = dhead * len(heads)
+        vs = jax.lax.slice_in_dim(value, lane0 * dhead, lane0 * dhead + gw,
+                                  axis=1)
+        parts = []
+        for h in heads:
+            ya = yy_ref[0, h]                   # [2*P, Lq] level-local rows
+            xa = xx_ref[0, h]
+            wya = wy_ref[0, h]
+            wxa_ = wx_ref[0, h]
+            selm3 = jnp.zeros((hr, wp, lq), jnp.float32)
+            for pt in range(npts):
+                def tap(arr, slot):
+                    return jax.lax.slice_in_dim(
+                        arr, slot, slot + 1, axis=0).reshape(1, 1, lq)
+                rsel = (
+                    jnp.where(row_iota == tap(ya, 2 * pt),
+                              tap(wya, 2 * pt), 0.0)
+                    + jnp.where(row_iota == tap(ya, 2 * pt + 1),
+                                tap(wya, 2 * pt + 1), 0.0)
+                )                                # [hr, 1, Lq]
+                csel = (
+                    jnp.where(col_iota == tap(xa, 2 * pt),
+                              tap(wxa_, 2 * pt), 0.0)
+                    + jnp.where(col_iota == tap(xa, 2 * pt + 1),
+                                tap(wxa_, 2 * pt + 1), 0.0)
+                )                                # [1, wp, Lq]
+                selm3 = selm3 + rsel * csel
+            selm = selm3.reshape(hr * wp, lq)    # layout-free: wp % 8 == 0
+            parts.append(jax.lax.dot_general(
+                selm.astype(value.dtype), vs, (((0,), (0,)), ((), ())),
+                precision=_precision_for(value.dtype),
+                preferred_element_type=jnp.float32,
+            ))                                   # [Lq, gw]
+        if len(parts) == 2:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (lq, gw), 1)
+            part = jnp.where(lane < dhead, parts[0], parts[1])
+        else:
+            part = parts[0]
+        out_ref[0, :, lane0 * dhead:lane0 * dhead + gw] = (
+            out_ref[0, :, lane0 * dhead:lane0 * dhead + gw] + part
+        )
+
+
+def _gather_bwd_kernel_v5s(
+    idx_ref, w_ref, value_ref, dout_ref, dw_ref, dval_ref, *, hr, wp, spl, dhead
+):
+    """S-chunked v5 backward: one program per (image, row-chunk) of ONE level.
+
+    dval chunk rows are written exactly once (slab rows partition across
+    chunks); dW accumulates in its revisited block — a corner contributes
+    from the single chunk containing it.  Corner indices are LEVEL-LOCAL
+    flat (y * wp + x).
+    """
+    lq = idx_ref.shape[2]
+    m = idx_ref.shape[1]
+    kc = pl.program_id(1)
+    chunk = hr * wp
+    value = value_ref[0]                        # [chunk, C]
+    dout = dout_ref[0]                          # [Lq, C]
+    pairs = _head_pairs(m)
+
+    @pl.when(kc == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (lq, chunk), 1) + kc * chunk
+    for lane0, heads in pairs:
+        gw = dhead * len(heads)
+        vsl = jax.lax.slice_in_dim(value, lane0 * dhead, lane0 * dhead + gw,
+                                   axis=1)
+        do_pair = jax.lax.slice_in_dim(
+            dout, lane0 * dhead, lane0 * dhead + gw, axis=1)   # [Lq, gw]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (lq, gw), 1)
+        dv_parts = []
+        for hi_, h in enumerate(heads):
+            idx = idx_ref[0, h]                 # [Lq, spl] level-local flat
+            wts = w_ref[0, h]
+            selm = jnp.zeros((lq, chunk), jnp.float32)
+            for ci in range(spl):
+                sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)
+                ww = jax.lax.slice_in_dim(wts, ci, ci + 1, axis=1)
+                selm = selm + jnp.where(
+                    col_ids == sel, ww.astype(jnp.float32), 0.0)
+            dv_parts.append(jax.lax.dot_general(
+                selm.astype(do_pair.dtype), do_pair, (((0,), (0,)), ((), ())),
+                precision=_precision_for(value.dtype),
+                preferred_element_type=jnp.float32,
+            ))                                   # [chunk, gw]
+            if len(heads) == 2:
+                half = lane < dhead if hi_ == 0 else lane >= dhead
+                do_h = jnp.where(half, do_pair, jnp.zeros((), do_pair.dtype))
+            else:
+                do_h = do_pair
+            dov = jax.lax.dot_general(           # [Lq, chunk]
+                do_h, vsl, (((1,), (1,)), ((), ())),
+                precision=_precision_for(value.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            dw_lane = jax.lax.broadcasted_iota(jnp.int32, (lq, spl), 1)
+            dw = jnp.zeros((lq, spl), jnp.float32)
+            for ci in range(spl):
+                sel = jax.lax.slice_in_dim(idx, ci, ci + 1, axis=1)
+                dw_ci = jnp.sum(
+                    jnp.where(col_ids == sel, dov, 0.0), axis=1, keepdims=True)
+                dw = dw + jnp.where(dw_lane == ci, dw_ci, 0.0)
+            dw_ref[0, h] = dw_ref[0, h] + dw.astype(dw_ref.dtype)
+        if len(dv_parts) == 2:
+            slane = jax.lax.broadcasted_iota(jnp.int32, dv_parts[0].shape, 1)
+            dv = jnp.where(slane < dhead, dv_parts[0], dv_parts[1])
+        else:
+            dv = dv_parts[0]
+        dval_ref[0, :, lane0 * dhead:lane0 * dhead + gw] = dv.astype(
+            dval_ref.dtype)
+
+
+def _gather_call_v5s(yy, xx, wy, wxa, value, spans5, npts, dhead):
+    n, m, _, lq = yy.shape
+    c = value.shape[2]
+    total = None
+    for lvl, (st, hl, wp) in enumerate(spans5):
+        hr, nk = _chunk_plan_v5s(hl, wp, lq)
+        hpad = hr * nk
+        val_l = jax.lax.slice_in_dim(value, st, st + hl * wp, axis=1)
+        if hpad != hl:
+            val_l = jnp.pad(val_l, [(0, 0), (0, (hpad - hl) * wp), (0, 0)])
+        sl = slice(2 * lvl * npts, 2 * (lvl + 1) * npts)
+        kernel = functools.partial(
+            _gather_matmul_kernel_v5s, hr=hr, wp=wp, npts=npts, dhead=dhead)
+        c2 = 2 * npts
+        tap_spec = pl.BlockSpec((1, m, c2, lq), lambda i, k: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_l = pl.pallas_call(
+            kernel,
+            grid=(n, nk),
+            in_specs=[
+                tap_spec, tap_spec, tap_spec, tap_spec,
+                pl.BlockSpec((1, hr * wp, c), lambda i, k: (i, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, lq, c), lambda i, k: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, lq, c), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n * m * lq * hpad * wp * 2 * dhead,
+                bytes_accessed=2 * val_l.size + 4 * n * lq * c,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(yy[:, :, sl], xx[:, :, sl], wy[:, :, sl], wxa[:, :, sl], val_l)
+        total = out_l if total is None else total + out_l
+    return total.astype(value.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _gather_op_v5s(yy, xx, wy, wxa, idx_h, w_h, value, spans5, npts, dhead):
+    return _gather_call_v5s(yy, xx, wy, wxa, value, spans5, npts, dhead)
+
+
+def _gather_fwd_v5s(yy, xx, wy, wxa, idx_h, w_h, value, spans5, npts, dhead):
+    out = _gather_call_v5s(yy, xx, wy, wxa, value, spans5, npts, dhead)
+    return out, (idx_h, w_h, value)
+
+
+def _gather_bwd_v5s(spans5, npts, dhead, residuals, dout):
+    """Per-level, row-chunked backward.  Like _gather_bwd_v5 the corner-form
+    path carries the COMPLETE gradient; the separable forward operands get
+    zero cotangents."""
+    idx_h, w_h, value = residuals
+    n, m, lq, cw = idx_h.shape
+    c = value.shape[2]
+    spl = npts * 4
+    dw_parts, dval_parts = [], []
+    for lvl, (st, hl, wp) in enumerate(spans5):
+        hr, nk = _chunk_plan_v5s(hl, wp, lq)
+        hpad = hr * nk
+        val_l = jax.lax.slice_in_dim(value, st, st + hl * wp, axis=1)
+        if hpad != hl:
+            val_l = jnp.pad(val_l, [(0, 0), (0, (hpad - hl) * wp), (0, 0)])
+        slc = slice(lvl * spl, (lvl + 1) * spl)
+        idx_l = idx_h[:, :, :, slc] - st        # level-local flat indices
+        w_l = w_h[:, :, :, slc]
+        kernel = functools.partial(
+            _gather_bwd_kernel_v5s, hr=hr, wp=wp, spl=spl, dhead=dhead)
+        dw_l, dval_l = pl.pallas_call(
+            kernel,
+            grid=(n, nk),
+            in_specs=[
+                pl.BlockSpec((1, m, lq, spl), lambda i, k: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m, lq, spl), lambda i, k: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hr * wp, c), lambda i, k: (i, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lq, c), lambda i, k: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, m, lq, spl), lambda i, k: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hr * wp, c), lambda i, k: (i, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, m, lq, spl), w_h.dtype),
+                jax.ShapeDtypeStruct((n, hpad * wp, c), value.dtype),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=4 * n * m * lq * hpad * wp * 2 * dhead,
+                bytes_accessed=4 * val_l.size + 8 * (idx_l.size + w_l.size),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        )(idx_l, w_l, val_l, dout)
+        dw_parts.append(dw_l)
+        dval_parts.append(jax.lax.slice_in_dim(dval_l, 0, hl * wp, axis=1))
+    dw = jnp.concatenate(dw_parts, axis=3)
+    dval = jnp.concatenate(dval_parts, axis=1)
+    dzero = np.zeros((n, m, cw // 2, lq), jax.dtypes.float0)
+    dwy = jnp.zeros((n, m, cw // 2, lq), jnp.float32)
+    return (dzero, dzero, dwy, dwy,
+            np.zeros(idx_h.shape, jax.dtypes.float0), dw, dval)
+
+
+_gather_op_v5s.defvjp(_gather_fwd_v5s, _gather_bwd_v5s)

@@ -447,6 +447,117 @@ class TestMSDA:
                 err_msg=f"grad mismatch for {name}",
             )
 
+    def test_pallas_v5_chunked_matches_reference_interpret(
+        self, msda_inputs, monkeypatch
+    ):
+        """S-chunked v5 (per-level calls, row-chunk grid) vs the oracle.
+
+        A tiny chunk budget forces hr=1 so every level splits into multiple
+        row chunks (level 0 of the fixture runs 6 chunks), exercising the
+        revisited-output accumulation and the chunk-offset iota compares."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        monkeypatch.setenv("GRIT_MSDA_V5", "1")
+        monkeypatch.setenv("GRIT_MSDA_CHUNKED", "force")
+        monkeypatch.setenv("GRIT_MSDA_CHUNK_VMEM_MB", "0.005")
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        assert mp._chunk_plan_v5s(shapes[0][0], 8, 8)[1] > 1
+        ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+        relaid = mp.relay_value(value.reshape(n, s, m * d), shapes)
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            out = np.asarray(mp.ms_deform_attn_pallas_relaid(relaid, shapes, loc, w))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_v5_chunked_corner_weight_padding_mask(
+        self, msda_inputs, monkeypatch
+    ):
+        """Chunked real_hw masking == pre-masking the value slab."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        monkeypatch.setenv("GRIT_MSDA_V5", "1")
+        monkeypatch.setenv("GRIT_MSDA_CHUNKED", "force")
+        monkeypatch.setenv("GRIT_MSDA_CHUNK_VMEM_MB", "0.005")
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        real = np.array(
+            [[[h - min(2, h - 1), wd - 1] for h, wd in shapes],
+             [[h, wd] for h, wd in shapes]], np.int32
+        )
+        vm = np.asarray(value).copy()
+        off = 0
+        for lvl, (h, wd) in enumerate(shapes):
+            grid = vm[:, off:off + h * wd].reshape(n, h, wd, m, d)
+            for i in range(n):
+                rh, rw = real[i, lvl]
+                grid[i, rh:, :, :, :] = 0.0
+                grid[i, :, rw:, :, :] = 0.0
+            off += h * wd
+        ref = np.asarray(ms_deform_attn_reference(jnp.asarray(vm), shapes, loc, w))
+
+        relaid = mp.relay_value(value.reshape(n, s, m * d), shapes)  # UNMASKED
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            out = np.asarray(mp.ms_deform_attn_pallas_relaid(
+                relaid, shapes, loc, w, real_hw=jnp.asarray(real)))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_pallas_v5_chunked_grads(self, msda_inputs, monkeypatch):
+        """Chunked backward (per-level selector-transpose, dval written once
+        per chunk, dW accumulated across chunks) matches direct autodiff of
+        the XLA formulation for ALL of (value, loc, attn)."""
+        from unittest import mock
+
+        from jax.experimental import pallas as pl
+
+        import grit_tpu.ops.msda_pallas as mp
+
+        monkeypatch.setenv("GRIT_MSDA_V5", "1")
+        monkeypatch.setenv("GRIT_MSDA_CHUNKED", "force")
+        monkeypatch.setenv("GRIT_MSDA_CHUNK_VMEM_MB", "0.005")
+        value, shapes, loc, w = msda_inputs
+        n, s, m, d = value.shape
+        orig = pl.pallas_call
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        def loss_chunked(v, l, a):
+            relaid = mp.relay_value(v.reshape(n, s, m * d), shapes)
+            return jnp.sum(mp.ms_deform_attn_pallas_relaid(relaid, shapes, l, a) ** 2)
+
+        with mock.patch.object(mp.pl, "pallas_call", interp):
+            g_p = jax.grad(loss_chunked, argnums=(0, 1, 2))(value, loc, w)
+        g_x = jax.grad(
+            lambda v, l, a: jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2),
+            argnums=(0, 1, 2),
+        )(value, loc, w)
+        for name, gp, gx in zip(["value", "loc", "attn"], g_p, g_x):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-5,
+                err_msg=f"grad mismatch for {name}",
+            )
+
     def test_grit_sizes_smoke(self):
         # GRIT production sizes: L=4 levels of a 384x640 image, M=8, D=64, Lq=150
         shapes = ((48, 80), (24, 40), (12, 20), (6, 10))
