@@ -101,6 +101,27 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, g, d, bblk):
         out_ref[i, 0] = o_merged.astype(out_ref.dtype)
 
 
+def _wa_vmem_budget() -> int:
+    """Per-program working-set budget the block/chunk pickers size against.
+
+    The default 13 MB targets Mosaic's 16 MB scoped-vmem default.  Raising
+    ``GRIT_WA_VMEM_MB`` lifts every picker (gpp, MLP row caps, batch
+    blocks, block-MLP fusability) AND the kernels' compiled vmem limit
+    together — v5e has 128 MB physical VMEM, so bigger working sets trade
+    double-buffer headroom for fewer, fatter programs.  A/B knob; read at
+    trace time.
+    """
+    return int(float(os.environ.get("GRIT_WA_VMEM_MB", "13")) * (1 << 20))
+
+
+def _wa_compiler_params():
+    """Mosaic params for the window-attention kernel family: allow the
+    scoped-vmem ceiling to follow the picker budget (+8 MB slack for
+    double buffers and temps the estimates do not count)."""
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(16 << 20, _wa_vmem_budget() + (8 << 20)))
+
+
 def _pick_bblk(b: int, n: int, gd: int, itemsize: int) -> int:
     """Largest batch block whose q/k/v/out VMEM blocks stay under budget.
 
@@ -109,8 +130,8 @@ def _pick_bblk(b: int, n: int, gd: int, itemsize: int) -> int:
     the [g*N, N] score intermediates.
     """
     per_image = 4 * n * max(gd, 128) * itemsize  # q, k, v, out (lane-padded)
-    budget = 10 << 20  # the 16 MB scoped-vmem limit also holds the unrolled
-    bblk = max(1, min(16, budget // (2 * per_image)))  # loop's score temps
+    budget = max(10 << 20, _wa_vmem_budget() - (3 << 20))  # scoped limit also
+    bblk = max(1, min(16, budget // (2 * per_image)))  # holds score temps
     while b % bblk:
         bblk -= 1
     return bblk
@@ -151,6 +172,7 @@ def _forward(q, k, v, bias, scale, num_heads):
             bytes_accessed=(4 * q.size + m * h * n * n) * q.dtype.itemsize,
             transcendentals=b * nw * h * n * n,
         ),
+        compiler_params=_wa_compiler_params(),
     )(q, k, v, bias.astype(jnp.float32))
     return out
 
@@ -279,6 +301,7 @@ def _backward(q, k, v, bias, scale, num_heads, dout):
             bytes_accessed=(8 * q.size + 2 * nw * h * n * n) * q.dtype.itemsize,
             transcendentals=b * nw * h * n * n,
         ),
+        compiler_params=_wa_compiler_params(),
     )(q, k, v, dout, bias.astype(jnp.float32))
     if m == 1:
         dbias = dbias_w.sum(0, keepdims=True)
@@ -456,7 +479,7 @@ def _block_kernel(
 def _pick_block_bblk(b: int, n: int, c: int, itemsize: int) -> int:
     # x + out double-buffered (itemsize) + f32 scratch, per image
     per_image = n * c * (2 * 2 * itemsize + 4)
-    budget = 10 << 20
+    budget = max(10 << 20, _wa_vmem_budget() - (3 << 20))
     bblk = max(1, min(16, budget // per_image))
     while b % bblk:
         bblk -= 1
@@ -545,6 +568,7 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, window,
             bytes_accessed=(2 * x.size + m * h * n * n * 4),
             transcendentals=b * nw * h * n * n,
         ),
+        compiler_params=_wa_compiler_params(),
     )(x6, wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias_f)
     if save_attn:
         out6, o_merged = outs
@@ -927,6 +951,7 @@ def _step_forward(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
             bytes_accessed=(2 * x.size + m * h * n * n * 4),
             transcendentals=b * nw * h * n * n,
         ),
+        compiler_params=_wa_compiler_params(),
     )(x6, lns.astype(jnp.float32)[None], lnb.astype(jnp.float32)[None],
       wq, wk, wv, bq, bk, bv, wproj, bproj[None], bias_f)
     if save_attn:
@@ -1207,7 +1232,7 @@ def _pick_gpp(n_groups, gd, c, n, nwx, win, wp_, kb, g, wide, itemsize):
     and each band row is read once.  ``GRIT_WA_GPP`` pins a value for chip
     A/Bs (clamped to a divisor)."""
     forced = int(os.environ.get("GRIT_WA_GPP", "0"))
-    budget = 13 * 1024 * 1024
+    budget = _wa_vmem_budget()
 
     def fits(gpp):
         gpd = gpp * gd
@@ -1413,6 +1438,7 @@ def _step_forward_band(x, lns, lnb, wqkv, bqkv, wproj, bproj, bias,
             transcendentals=b * nw * h * n * n
             + (b * hp * wp_ * mlp[2].shape[1] if mlp is not None else 0),
         ),
+        compiler_params=_wa_compiler_params(),
     )(*x_operands, lns.astype(jnp.float32)[None],
       lnb.astype(jnp.float32)[None],
       wqkv_c, bqkv_c, wproj, bproj[None], bias_f, *mlp_operands)
@@ -1616,7 +1642,7 @@ def block_mlp_fusable(c, num_heads, window, hp, wp_, m, hid, itemsize) -> bool:
     est += n * 3 * gpp * gd * 4 + n * g * n * (4 + itemsize) * 2
     est += (c * hid + hid * c) * itemsize                # fc1 + fc2
     est += min(window * wp_, 512) * hid * (4 + itemsize)  # GELU sub-block
-    return est <= 13 * 1024 * 1024
+    return est <= _wa_vmem_budget()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
@@ -1827,7 +1853,7 @@ def _mlp_row_cap(c: int, hid: int, itemsize: int) -> int:
     # per-row bytes: in/out blocks (double-buffered) + f32 LN temps at C
     # + the f32 GELU intermediate + its cast at hid
     per_row = c * (6 * itemsize + 12) + hid * (4 + itemsize)
-    cap = (13 * 1024 * 1024) // max(per_row, 1)
+    cap = _wa_vmem_budget() // max(per_row, 1)
     r = 512
     while r * 2 <= min(cap, 2048):
         r *= 2
@@ -1871,6 +1897,7 @@ def _mlp_forward(x2, lns, lnb, w1, b1, w2, b2, eps, residual):
             bytes_accessed=2 * rows * c * x2.dtype.itemsize,
             transcendentals=rows * hid,
         ),
+        compiler_params=_wa_compiler_params(),
     )(x2, lns2, lnb2, w1, b1_2, w2, b2_2)
     return out
 
@@ -1958,7 +1985,7 @@ def _lnlin_forward(x2, lns, lnb, w, eps):
     itemsize = x2.dtype.itemsize
     weight_bytes = cin * cout * w.dtype.itemsize
     per_row = cin * (2 * itemsize + 4) + cout * (4 + itemsize)
-    budget = 12 * 1024 * 1024 - weight_bytes
+    budget = (_wa_vmem_budget() - (1 << 20)) - weight_bytes
     if budget < 8 * per_row:
         # the whole weight must stay VMEM-resident; a weight past the budget
         # would schedule a guaranteed Mosaic OOM (ADVICE r3).  Unreachable at
@@ -1992,6 +2019,7 @@ def _lnlin_forward(x2, lns, lnb, w, eps):
             bytes_accessed=rows * (cin + cout) * x2.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=_wa_compiler_params(),
     )(x2, lns2, lnb2, w)
 
 
@@ -2057,6 +2085,7 @@ def _ln_forward(x2, lns, lnb, eps):
             bytes_accessed=2 * rows * c * x2.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=_wa_compiler_params(),
     )(x2, lns2, lnb2)
 
 

@@ -544,10 +544,19 @@ class TestMSDAImplResolution:
         # 384x640 pyramid: S_pad ~= 5104, C=512, bf16
         assert resolve_msda_impl("pallas", 5104, 512, 2) == "pallas"
 
-    def test_det_pretrain_pyramid_falls_back_to_flat(self):
+    def test_det_pretrain_pyramid_over_bound_resolution(self, monkeypatch):
         from grit_tpu.models.det_module import resolve_msda_impl
 
-        # 832x1216 pyramid: S_pad ~= 21000
+        # 832x1216 pyramid (S_pad ~= 21000): stays on pallas — the entry
+        # routes to the S-chunked v5 kernels above the whole-slab bound
+        monkeypatch.setenv("GRIT_MSDA_V5", "1")
+        monkeypatch.setenv("GRIT_MSDA_CHUNKED", "1")
+        assert resolve_msda_impl("pallas", 21000, 512, 2) == "pallas"
+        # with chunking disabled (or the v4 kernel) it demotes to flat
+        monkeypatch.setenv("GRIT_MSDA_CHUNKED", "0")
+        assert resolve_msda_impl("pallas", 21000, 512, 2) == "flat"
+        monkeypatch.setenv("GRIT_MSDA_CHUNKED", "1")
+        monkeypatch.setenv("GRIT_MSDA_V5", "0")
         assert resolve_msda_impl("pallas", 21000, 512, 2) == "flat"
         # explicit non-pallas impls are never touched
         assert resolve_msda_impl("flat", 21000, 512, 2) == "flat"
