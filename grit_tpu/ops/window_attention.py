@@ -115,11 +115,18 @@ def _wa_vmem_budget() -> int:
 
 
 def _wa_compiler_params():
-    """Mosaic params for the window-attention kernel family: allow the
-    scoped-vmem ceiling to follow the picker budget (+8 MB slack for
-    double buffers and temps the estimates do not count)."""
+    """Mosaic params for the window-attention kernel family.
+
+    The explicit vmem limit exists to let A/B budgets ABOVE Mosaic's 16 MB
+    scoped default compile (the s4 gpp=4 probe OOM'd against it); it must
+    never sit BELOW the implicit allowance or it breaks kernels that
+    already compile — the f32 stage-4 fused-MLP's stack allocation is
+    32.5 MB and passed before any explicit limit was set (chip log
+    2026-08-21).  96 MB matches the MSDA kernels' practice and leaves the
+    v5e's 128 MB physical VMEM headroom for XLA's own buffers.
+    """
     return pltpu.CompilerParams(
-        vmem_limit_bytes=max(16 << 20, _wa_vmem_budget() + (8 << 20)))
+        vmem_limit_bytes=max(96 << 20, _wa_vmem_budget() + (8 << 20)))
 
 
 def _pick_bblk(b: int, n: int, gd: int, itemsize: int) -> int:
