@@ -125,8 +125,16 @@ def _wa_compiler_params():
     2026-08-21).  96 MB matches the MSDA kernels' practice and leaves the
     v5e's 128 MB physical VMEM headroom for XLA's own buffers.
     """
+    budget = _wa_vmem_budget()
+    if budget <= 13 << 20:
+        # default budget: DON'T attach an explicit limit — the chip A/B
+        # measured the same 393.8 img/s but cold compile ballooned 154 ->
+        # 1395 s with an explicit 96 MB limit on these kernels (the Mosaic
+        # allocator's search space scales with the ceiling); the implicit
+        # limits already admit every default-pick kernel.
+        return None
     return pltpu.CompilerParams(
-        vmem_limit_bytes=max(96 << 20, _wa_vmem_budget() + (8 << 20)))
+        vmem_limit_bytes=max(96 << 20, budget + (8 << 20)))
 
 
 def _pick_bblk(b: int, n: int, gd: int, itemsize: int) -> int:
