@@ -104,14 +104,16 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, g, d, bblk):
 def _wa_vmem_budget() -> int:
     """Per-program working-set budget the block/chunk pickers size against.
 
-    The default 13 MB targets Mosaic's 16 MB scoped-vmem default.  Raising
     ``GRIT_WA_VMEM_MB`` lifts every picker (gpp, MLP row caps, batch
     blocks, block-MLP fusability) AND the kernels' compiled vmem limit
     together — v5e has 128 MB physical VMEM, so bigger working sets trade
-    double-buffer headroom for fewer, fatter programs.  A/B knob; read at
-    trace time.
+    double-buffer headroom for fewer, fatter programs.  13 targets
+    Mosaic's 16 MB scoped-vmem default (the pre-r5 behavior, no explicit
+    limit attached).  Default 26 by chip A/B (2026-08-21, paired windows):
+    eval 397.8 vs 393.8 img/s, XE train 173.2 vs 193.4 ms/step sustained
+    (+11.7%); 40 plateaus.  Read at trace time.
     """
-    return int(float(os.environ.get("GRIT_WA_VMEM_MB", "13")) * (1 << 20))
+    return int(float(os.environ.get("GRIT_WA_VMEM_MB", "26")) * (1 << 20))
 
 
 def _wa_compiler_params():
