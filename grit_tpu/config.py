@@ -180,6 +180,10 @@ def default_caption_config() -> Config:
                 "size": [384, 640],
                 "resize_name": "maxwh",  # normal | minmax | maxwh
                 "randaug": True,
+                # ship uint8 RGB to the device and ImageNet-normalize there
+                # (4x less host->device transfer; bit-equal semantics incl.
+                # pad-zero — see utils/nested.py::device_normalize)
+                "device_norm": True,
             },
         },
         "model": {

@@ -81,6 +81,12 @@ class GRITCaptioner(nn.Module):
     ) -> VisInputs:
         """Run detector (unless given cached features) + grid network."""
         if isinstance(images, ImageBatch):
+            from grit_tpu.utils.nested import device_normalize
+
+            # uint8 wire format: loaders ship raw RGB (4x less tunnel/PCIe
+            # traffic) and the ImageNet normalize runs here on device;
+            # float input (parity tools, direct-tensor tests) is unchanged
+            images = device_normalize(images)
             vis = self.detector(images, deterministic=deterministic)
         else:
             vis = dict(images)

@@ -103,7 +103,9 @@ def pad_to_multiple(
         if rem == 0:
             return x
         arr = np.asarray(x)
-        if np.issubdtype(arr.dtype, np.integer):
+        if np.issubdtype(arr.dtype, np.integer) and arr.dtype != np.uint8:
+            # uint8 is the raw-RGB image wire format, not token ids — it
+            # pads with zero pixels like float images, never int_fill/BOS
             block = np.full((rem,) + arr.shape[1:], int_fill, dtype=arr.dtype)
             if int_first is not None and arr.ndim >= 2 and arr.shape[1] > 0:
                 block[:, 0] = int_first

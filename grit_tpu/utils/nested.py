@@ -19,10 +19,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+#: ImageNet normalization constants (reference datasets/caption/transforms
+#: /__init__.py:6-7) — shared by the host transform pipeline and the
+#: on-device normalization below.
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
 class ImageBatch(NamedTuple):
     """A batch of padded images plus a pixel validity mask.
 
-    images: float [B, H, W, 3]
+    images: float [B, H, W, 3] ImageNet-normalized, OR uint8 [B, H, W, 3]
+            raw RGB (the compact wire format — models normalize on device
+            via ``device_normalize``; 4x less host->device transfer).
     mask:   bool  [B, H, W] — True where the pixel is padding.
     """
 
@@ -32,6 +41,24 @@ class ImageBatch(NamedTuple):
     @property
     def batch_size(self) -> int:
         return self.images.shape[0]
+
+
+def device_normalize(batch: ImageBatch) -> ImageBatch:
+    """ImageNet-normalize a uint8 ImageBatch on device (f32 passes through).
+
+    Reproduces the host pipeline exactly: ``(u8/255 - mean)/std`` in f32,
+    then padded pixels forced to 0.0 — the reference normalizes BEFORE
+    padding with zeros (engine/utils.py:278-295), so pad positions carry
+    0.0 in normalized space, not normalize(0).  Dtype-gated at trace time:
+    already-normalized float input (the historical wire format, still used
+    by the parity tools and direct-tensor tests) is returned unchanged.
+    """
+    if batch.images.dtype != jnp.uint8:
+        return batch
+    x = batch.images.astype(jnp.float32) / 255.0
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    x = jnp.where(batch.mask[..., None], 0.0, x)
+    return ImageBatch(x, batch.mask)
 
 
 def round_up(x: int, multiple: int) -> int:
@@ -55,7 +82,10 @@ def batch_images(
         w = max(im.shape[1] for im in images)
         bucket_hw = (round_up(h, pad_multiple), round_up(w, pad_multiple))
     bh, bw = bucket_hw
-    batch = np.zeros((len(images), bh, bw, 3), dtype=np.float32)
+    # dtype follows the transform output: uint8 (device-normalized wire
+    # format) or host-normalized float32
+    dtype = images[0].dtype if len(images) else np.float32
+    batch = np.zeros((len(images), bh, bw, 3), dtype=dtype)
     mask = np.ones((len(images), bh, bw), dtype=bool)
     for i, im in enumerate(images):
         h, w = im.shape[0], im.shape[1]

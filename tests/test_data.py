@@ -189,3 +189,65 @@ class TestCocoPipeline:
             for b in loader:
                 seen += list(b["image_id"])
         assert len(seen) == len(ex["train"])  # disjoint cover
+
+
+class TestDeviceNorm:
+    """uint8 wire format: transform emits raw RGB, the captioner's
+    device_normalize reproduces the host-normalized float path exactly
+    (incl. pad-zero semantics and the f32 passthrough)."""
+
+    def _img(self):
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        return Image.fromarray(rng.randint(0, 256, (50, 70, 3), np.uint8))
+
+    def test_uint8_wire_matches_host_normalized(self):
+        from grit_tpu.utils.nested import batch_images, device_normalize
+
+        img = self._img()
+        cfg8 = Config({"size": [64, 96], "resize_name": "maxwh",
+                       "randaug": False, "device_norm": True})
+        cfg32 = Config({"size": [64, 96], "resize_name": "maxwh",
+                        "randaug": False, "device_norm": False})
+        t8 = get_transform(cfg8)["valid"](img)
+        assert t8.dtype == np.uint8
+        b8 = device_normalize(batch_images([t8], bucket_hw=(64, 96)))
+        t32 = get_transform(cfg32)["valid"](img)
+        assert t32.dtype == np.float32
+        b32 = batch_images([t32], bucket_hw=(64, 96))
+        np.testing.assert_allclose(
+            np.asarray(b8.images), np.asarray(b32.images), atol=1e-6)
+        # pad region carries exact 0.0 (the reference normalizes BEFORE
+        # zero-padding), and masks agree
+        np.testing.assert_array_equal(np.asarray(b8.mask), np.asarray(b32.mask))
+        assert np.all(np.asarray(b8.images)[np.asarray(b8.mask)] == 0.0)
+
+    def test_float_passthrough(self):
+        from grit_tpu.utils.nested import batch_images, device_normalize
+
+        cfg32 = Config({"size": [64, 96], "resize_name": "maxwh",
+                        "randaug": False})
+        t32 = get_transform(cfg32)["valid"](self._img())
+        b32 = batch_images([t32], bucket_hw=(64, 96))
+        out = device_normalize(b32)
+        np.testing.assert_array_equal(np.asarray(out.images), np.asarray(b32.images))
+
+    def test_namespace_cfg_defaults_to_host_norm(self):
+        # plain namespaces (parity tools) lack .get — must keep float output
+        from types import SimpleNamespace
+
+        cfg = SimpleNamespace(size=[64, 96], resize_name="maxwh", randaug=False)
+        t = get_transform(cfg)["valid"](self._img())
+        assert t.dtype == np.float32
+
+    def test_ragged_pad_uint8_zero_fill(self):
+        from grit_tpu.parallel.mesh import pad_to_multiple
+
+        tree = {
+            "img": np.full((3, 4, 4, 3), 7, np.uint8),
+            "caps": np.full((3, 5), 4, np.int32),
+        }
+        out = pad_to_multiple(tree, 4, int_fill=1, int_first=2)
+        assert out["img"].shape[0] == 4 and np.all(out["img"][3] == 0)
+        assert np.all(out["caps"][3, 0] == 2) and np.all(out["caps"][3, 1:] == 1)
