@@ -143,10 +143,23 @@ class Compose:
 
 
 class Normalize:
-    """To float array + boxes -> normalized cxcywh (transforms.py:370-388)."""
+    """Boxes -> normalized cxcywh (transforms.py:370-388); image -> array.
+
+    With ``device_norm`` (the production default) the image stays raw
+    uint8 RGB and the ImageNet normalize runs ON DEVICE at the detector
+    entry (utils.nested.device_normalize) — 4x less host->device transfer
+    per det batch (a b4 832x1216 f32 batch is 48.6 MB).  ``False`` keeps
+    the historical host-normalized float32 output.
+    """
+
+    def __init__(self, device_norm: bool = True):
+        self.device_norm = device_norm
 
     def __call__(self, img: Image.Image, target: dict):
-        arr = (np.asarray(img.convert("RGB"), np.float32) / 255.0 - MEAN) / STD
+        if self.device_norm:
+            arr = np.asarray(img.convert("RGB"), np.uint8)
+        else:
+            arr = (np.asarray(img.convert("RGB"), np.float32) / 255.0 - MEAN) / STD
         h, w = arr.shape[:2]
         t = dict(target)
         if len(t.get("boxes", [])):
@@ -161,7 +174,8 @@ class Normalize:
         return arr, t
 
 
-def make_transforms(split: str, scales=None, max_size: int = 1333):
+def make_transforms(split: str, scales=None, max_size: int = 1333,
+                    device_norm: bool = True):
     """Presets mirroring transforms.py:409-465."""
     scales = scales or DEFAULT_SCALES
     if split == "train":
@@ -175,6 +189,7 @@ def make_transforms(split: str, scales=None, max_size: int = 1333):
                     RandomResize(scales, max_size=max_size),
                 ]),
             ),
-            Normalize(),
+            Normalize(device_norm),
         ])
-    return Compose([RandomResize([800], max_size=max_size), Normalize()])
+    return Compose([RandomResize([800], max_size=max_size),
+                    Normalize(device_norm)])

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from grit_tpu.models.det_module import DetectionModule
 from grit_tpu.models.swin import SwinTransformer, swin_base_win12_384
-from grit_tpu.utils.nested import ImageBatch, downsample_mask
+from grit_tpu.utils.nested import (ImageBatch, device_normalize,
+                                   downsample_mask)
 
 xavier = nn.initializers.xavier_uniform()
 
@@ -57,6 +58,10 @@ class DetectionDetector(nn.Module):
     def __call__(
         self, images: ImageBatch, *, training: bool = False, deterministic: bool = True
     ) -> dict:
+        # uint8 wire format: loaders ship raw RGB (4x less host->device
+        # transfer); ImageNet normalize runs here on device.  Float input
+        # (parity tools, direct-tensor tests) passes through unchanged.
+        images = device_normalize(images)
         features = self.backbone(images.images, deterministic=deterministic)
         n_stages = len(self.backbone.depths)
         patch = self.backbone.patch_size

@@ -81,12 +81,8 @@ class GRITCaptioner(nn.Module):
     ) -> VisInputs:
         """Run detector (unless given cached features) + grid network."""
         if isinstance(images, ImageBatch):
-            from grit_tpu.utils.nested import device_normalize
-
-            # uint8 wire format: loaders ship raw RGB (4x less tunnel/PCIe
-            # traffic) and the ImageNet normalize runs here on device;
-            # float input (parity tools, direct-tensor tests) is unchanged
-            images = device_normalize(images)
+            # uint8 wire format: normalization happens at the detector entry
+            # (GRITDetector.__call__ -> utils.nested.device_normalize)
             vis = self.detector(images, deterministic=deterministic)
         else:
             vis = dict(images)

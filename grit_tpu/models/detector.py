@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from grit_tpu.models.det_module import DetectionModule
 from grit_tpu.models.swin import SwinTransformer, swin_base_win12_384
-from grit_tpu.utils.nested import ImageBatch, downsample_mask
+from grit_tpu.utils.nested import (ImageBatch, device_normalize,
+                                   downsample_mask)
 
 
 class Detector(nn.Module):
@@ -35,6 +36,10 @@ class Detector(nn.Module):
 
     @nn.compact
     def __call__(self, images: ImageBatch, *, deterministic: bool = True) -> dict:
+        # uint8 wire format: loaders ship raw RGB (4x less host->device
+        # transfer); ImageNet normalize runs here on device.  Float input
+        # (parity tools, direct-tensor tests) passes through unchanged.
+        images = device_normalize(images)
         features = self.backbone(images.images, deterministic=deterministic)
         # feature strides: stage outputs 1..n-1 plus the extra merged map
         # (reference strides 8/16/32/64 for the 4-stage patch-4 backbone)

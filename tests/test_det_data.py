@@ -101,6 +101,24 @@ class TestTransforms:
         # first box: xyxy [10,10,40,30] on 100x80 -> cxcywh (0.25, 0.25, 0.3, 0.25)
         np.testing.assert_allclose(out["boxes"][0], [0.25, 0.25, 0.3, 0.25], atol=1e-6)
 
+    def test_uint8_wire_matches_host_normalized(self, det_root):
+        """device_norm=True (the default) emits raw uint8; device_normalize
+        reproduces the host-normalized float path exactly, boxes identical."""
+        from grit_tpu.utils.nested import batch_images, device_normalize
+
+        root, ann = det_root
+        ds = DetectionDataset(ann, str(root))
+        img, tgt = ds[0]
+        a8, out8 = Normalize()(img, tgt)
+        a32, out32 = Normalize(device_norm=False)(img, tgt)
+        assert a8.dtype == np.uint8 and a32.dtype == np.float32
+        np.testing.assert_array_equal(out8["boxes"], out32["boxes"])
+        b8 = device_normalize(batch_images([a8], pad_multiple=32))
+        b32 = batch_images([a32], pad_multiple=32)
+        np.testing.assert_allclose(
+            np.asarray(b8.images), np.asarray(b32.images), atol=1e-6)
+        assert np.all(np.asarray(b8.images)[np.asarray(b8.mask)] == 0.0)
+
 
 class TestPadTargets:
     def test_pads_to_fixed_shape(self):
