@@ -693,12 +693,15 @@ def test_fused_training_grads_with_drop_path():
                                    rtol=2e-3, atol=2e-4, err_msg=str(p1))
 
 
-def test_fused_ln_linear_oversized_weight_falls_back():
+def test_fused_ln_linear_oversized_weight_falls_back(monkeypatch):
     """A weight too large to stay VMEM-resident must take the unfused XLA
     LN+matmul path instead of scheduling a guaranteed-OOM kernel (ADVICE r3:
     the old code clamped the row block to 8 and scheduled it anyway).  On the
     CPU backend a pallas_call outside _interp_patch would raise, so merely
-    producing a correct result proves the fallback engaged."""
+    producing a correct result proves the fallback engaged.  The budget is
+    pinned (GRIT_WA_VMEM_MB defaults to 26 since round 5) so the fixture
+    stays oversized."""
+    monkeypatch.setenv("GRIT_WA_VMEM_MB", "13")
     cin, cout = 2048, 1600  # f32 weight = 13.1 MB > the 12 MB VMEM budget
     ks = jax.random.split(jax.random.PRNGKey(11), 4)
     x = jax.random.normal(ks[0], (1, 8, cin))
